@@ -1,0 +1,30 @@
+"""shotvae_tpu — a TPU-native JAX/Flax/Pallas framework for SHOT-VAE.
+
+A from-scratch rebuild of the capabilities of FengHZ/SHOT-VAE
+(arXiv 2011.10684): semi-supervised VAEs with smooth-ELBO and
+optimal-interpolation mixup on MNIST / SVHN / CIFAR-10 / CIFAR-100.
+
+Design principles (TPU-first, not a port):
+  * all compute paths are pure functions compiled once under ``jax.jit``;
+    the reference's 4-forward/2-backward python loop collapses into a single
+    ``value_and_grad`` step (see ``shotvae_tpu.train.steps``).
+  * NHWC layout, bfloat16 matmul/conv compute with float32 params & losses.
+  * data parallelism via ``jax.sharding.Mesh`` + NamedSharding (GSPMD);
+    XLA inserts the gradient all-reduce over ICI.
+  * augmentation (pad/crop/flip, mixup, label smoothing) is executed
+    on-device inside the jitted step, keyed by ``jax.random``.
+  * hot elementwise chains have Pallas TPU kernels in ``shotvae_tpu.ops.pallas``.
+
+Layering (mirrors reference layer map, SURVEY.md §1):
+  cli/       training drivers (argparse surfaces match main_*.py flag-for-flag)
+  train/     jitted train & eval steps, epoch loop, schedules
+  models/    Flax modules: WideResNet/PreActResNet/DenseNet encoders,
+             DCGAN decoder, SHOT/M2 VAE, smooth VAEs, classifier
+  ops/       pure losses, sampling, mixup, schedules (+ pallas kernels)
+  data/      dataset parsers, SSL splits, host pipeline
+  parallel/  mesh construction and sharding policy
+  io/        orbax checkpointing, tensorboard logging
+  utils/     meters, pairwise-distance metrics
+"""
+
+__version__ = "0.1.0"
