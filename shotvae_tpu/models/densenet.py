@@ -1,0 +1,130 @@
+"""DenseNet-BC encoders with optional rematerialisation.
+
+TPU-native rebuild of /root/reference/shot_vae_model/densenet.py:33-155:
+bottleneck dense layers (BN->ReLU->1x1 conv->BN->ReLU->3x3 conv) with
+concatenated feature reuse, 0.5-compression transitions with 2x2 avg pool,
+and a final BN+ReLU. The reference's flag-gated ``cp.checkpoint``
+(densenet.py:48-53, default off) maps to ``jax.checkpoint`` (remat) on each
+dense layer — trading recompute for HBM, the standard TPU memory lever.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from shotvae_tpu.models.layers import BatchNorm, TorchConv, relu
+from shotvae_tpu.models.wideresnet import PreProcess
+
+
+class DenseLayer(nn.Module):
+    """One bottleneck layer producing growth_rate new channels (densenet.py:33-57)."""
+
+    growth_rate: int
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    train: bool = True
+    dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      axis_name=self.axis_name, name="norm1")(x)
+        h = relu(h)
+        h = TorchConv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv1")(h)
+        h = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      axis_name=self.axis_name, name="norm2")(h)
+        h = relu(h)
+        h = TorchConv(self.growth_rate, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, name="conv2")(h)
+        if self.drop_rate > 0:
+            h = nn.Dropout(self.drop_rate, deterministic=not self.train)(h)
+        return h
+
+
+class DenseBlock(nn.Module):
+    """num_layers dense layers; channel-concatenated feature reuse (densenet.py:70-88)."""
+
+    num_layers: int
+    growth_rate: int
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    efficient: bool = False
+    train: bool = True
+    dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        layer_cls = DenseLayer
+        if self.efficient:
+            # remat each layer: recompute BN->ReLU->conv chains in backward
+            layer_cls = nn.remat(DenseLayer)
+        for i in range(self.num_layers):
+            new = layer_cls(self.growth_rate, self.bn_size, self.drop_rate,
+                            self.train, self.dtype, self.axis_name,
+                            name=f"denselayer{i + 1}")(x)
+            x = jnp.concatenate([x, new], axis=-1)
+        return x
+
+
+class DenseNet(nn.Module):
+    """Full encoder. Parity: densenet.py:91-155."""
+
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    num_init_features: int = 16
+    compression: float = 0.5
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    efficient: bool = False
+    small_input: bool = True
+    dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None
+
+    @property
+    def num_feature_channel(self) -> int:
+        n = self.num_init_features
+        for i, num_layers in enumerate(self.block_config):
+            n += num_layers * self.growth_rate
+            if i != len(self.block_config) - 1:
+                n = int(n * self.compression)
+        return n
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = PreProcess(self.num_init_features, self.small_input,
+                       dtype=self.dtype, name="pre_process")(x)
+        num_features = self.num_init_features
+        for i, num_layers in enumerate(self.block_config):
+            x = DenseBlock(num_layers, self.growth_rate, self.bn_size,
+                           self.drop_rate, self.efficient, train, self.dtype,
+                           self.axis_name, name=f"denseblock{i + 1}")(x)
+            num_features += num_layers * self.growth_rate
+            if i != len(self.block_config) - 1:
+                # transition: BN->ReLU->1x1 compress->avgpool2 (densenet.py:60-67)
+                x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                              axis_name=self.axis_name, name=f"transition{i + 1}_norm")(x)
+                x = relu(x)
+                num_features = int(num_features * self.compression)
+                x = TorchConv(num_features, (1, 1), use_bias=False,
+                              dtype=self.dtype, name=f"transition{i + 1}_conv")(x)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      axis_name=self.axis_name, name="final_norm")(x)
+        return relu(x)
+
+
+densenet_dict = {
+    "densenet121": {"growth_rate": 32, "block_config": (6, 12, 24, 16), "num_init_features": 64},
+    "densenet161": {"growth_rate": 48, "block_config": (6, 12, 36, 24), "num_init_features": 96},
+    "densenet169": {"growth_rate": 32, "block_config": (6, 12, 32, 32), "num_init_features": 64},
+    "densenet201": {"growth_rate": 32, "block_config": (6, 12, 48, 32), "num_init_features": 64},
+    "densenetbc100": {"growth_rate": 12, "block_config": (16, 16, 16), "num_init_features": 24},
+    "densenetbc250": {"growth_rate": 24, "block_config": (41, 41, 41), "num_init_features": 48},
+    "densenetbc190": {"growth_rate": 40, "block_config": (31, 31, 31), "num_init_features": 40},
+}

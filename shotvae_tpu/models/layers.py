@@ -23,12 +23,16 @@ from flax import linen as nn
 from jax import nn as jnn
 from jax.nn import initializers
 
-# torch default init for Conv2d / Linear weights AND biases:
+# torch default init for Conv2d / Linear weights:
 # uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform)
 torch_default_init = initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 # torch kaiming_uniform_(a=0): uniform(+-sqrt(6/fan_in))
 kaiming_uniform_init = initializers.variance_scaling(2.0, "fan_in", "uniform")
 xavier_uniform_init = initializers.xavier_uniform()
+# Documented deviation: torch also draws *biases* from U(+-1/sqrt(fan_in));
+# fan_in is not derivable from a 1-D bias shape in flax, and nearly every conv
+# in the zoo is bias-free under BatchNorm, so biases start at zero here.
+torch_bias_init = initializers.zeros
 
 LEAKY_SLOPE = 0.01  # torch nn.LeakyReLU default negative_slope
 
@@ -45,17 +49,17 @@ class TorchConv(nn.Conv):
     """nn.Conv with torch-default init and NHWC layout (the flax default)."""
 
     kernel_init: Callable = torch_default_init
-    bias_init: Callable = torch_default_init
+    bias_init: Callable = torch_bias_init
 
 
 class TorchDense(nn.Dense):
     kernel_init: Callable = torch_default_init
-    bias_init: Callable = torch_default_init
+    bias_init: Callable = torch_bias_init
 
 
 class TorchConvTranspose(nn.ConvTranspose):
     kernel_init: Callable = torch_default_init
-    bias_init: Callable = torch_default_init
+    bias_init: Callable = torch_bias_init
 
 
 class BatchNorm(nn.Module):

@@ -1,0 +1,516 @@
+"""Epoch drivers: SHOT-VAE / M2, supervised classifier, smooth-ELBO.
+
+Host-side orchestration around the jitted steps — the counterpart of the
+reference ``main()/train()/valid()/test()`` functions
+(main_shot_vae.py:120-510, main_classifier.py:82-278,
+main_smooth_ELBO_mnist.py:36-225). Per step, only int32 index arrays leave
+the host; gathering, augmentation, the 4 forwards and the update all run in
+one compiled program per batch. Eval pads ragged tail batches to the static
+batch size with a 0/1 weight mask, so metrics are exact and every shape
+compiles once.
+
+Documented deviations from the reference (SURVEY.md §7 "faithful quirks"):
+  * best checkpoint tracks MAX validation accuracy (the reference's
+    ``elbo_valid_loss < best`` with init 10 tracks MIN accuracy — a bug,
+    main_shot_vae.py:221,243-244);
+  * the unlabeled stream drops its ragged tail batch (static shapes);
+  * epoch-0 LR warmup lives inside the optax schedule rather than a host-side
+    param-group mutation (same LR at every step).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shotvae_tpu.config import ShotVaeConfig, SmoothElboConfig
+from shotvae_tpu.data import (
+    DeviceDataset,
+    epoch_batches,
+    infinite_batches,
+    load_dataset,
+    ssl_split,
+)
+from shotvae_tpu.data.datasets import load_mnist, load_svhn, synthetic_dataset
+from shotvae_tpu.data.pipeline import num_batches, resize_batch
+from shotvae_tpu.data.splits import labeled_subset_per_class
+from shotvae_tpu.io import CheckpointManager, TBWriter
+from shotvae_tpu.models import SmoothVAE, VariationalAutoEncoder
+from shotvae_tpu.models.classifier import apply_classifier_init, build_classifier
+from shotvae_tpu.ops.schedules import multistep_lr, shot_vae_epoch_schedules
+from shotvae_tpu.parallel import DataParallel, make_mesh
+from shotvae_tpu.train import steps as steps_lib
+from shotvae_tpu.train.state import TrainState, adam_torch, init_model, sgd_torch
+from shotvae_tpu.utils import AverageMeter, MetricAccumulator
+
+
+def _prepare_writer_dir(log_dir: str, *, resume: bool, assume_yes: bool,
+                        train_time: int):
+    """Interactive removal guard (main_shot_vae.py:215-219) with --yes escape."""
+    if resume or not os.path.exists(log_dir):
+        return
+    if assume_yes:
+        shutil.rmtree(log_dir, ignore_errors=True)
+        return
+    flag = input(
+        f"vae_train_time:{train_time} will be removed, input yes to continue:")
+    if flag == "yes":
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
+def _sched_to_device(sched: dict) -> dict:
+    return {k: jnp.float32(v) for k, v in sched.items()}
+
+
+def _padded_eval_batches(indices: np.ndarray, batch_size: int):
+    """Fixed-size eval batches + 0/1 weight masks (tail padded by wraparound)."""
+    for idx in epoch_batches(np.random.default_rng(0), indices, batch_size,
+                             drop_last=False, shuffle=False):
+        real = len(idx)
+        weight = np.ones(batch_size, np.float32)
+        if real < batch_size:
+            idx = np.concatenate([idx, np.resize(idx, batch_size - real)])
+            weight[real:] = 0.0
+        yield jnp.asarray(idx), jnp.asarray(weight)
+
+
+def _make_dp(cfg) -> DataParallel:
+    if getattr(cfg, "num_devices", None):
+        return DataParallel(make_mesh(cfg.num_devices))
+    return DataParallel()
+
+
+def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
+                 max_epochs: Optional[int] = None, log_fn=print) -> dict:
+    """Train SHOT-VAE (or the M2 baseline with ``m2=True``); returns summary.
+
+    Mirrors main_shot_vae.py:120-258 / main_M2_vae.py:104-240.
+    """
+    tag = "M2-VAE" if m2 else "SHOT-VAE"
+    spec = cfg.apply_dataset_overrides(m2=m2)
+    train_data, _ = load_dataset(spec.name, cfg.base_path, train=True,
+                                 synthetic_fallback=cfg.synthetic_data)
+    test_data, _ = load_dataset(spec.name, cfg.base_path, train=False,
+                                synthetic_fallback=cfg.synthetic_data)
+    split = ssl_split(train_data.labels, spec.valid_per_class,
+                      spec.annotated_per_class, spec.num_classes,
+                      seed=cfg.seed)
+
+    dp = _make_dp(cfg)
+    train_ds = DeviceDataset(train_data, sharding=dp.replicated())
+    test_ds = DeviceDataset(test_data, sharding=dp.replicated())
+
+    dtype = jnp.bfloat16 if cfg.bf16 else None
+    model = VariationalAutoEncoder(
+        encoder_name=cfg.net_name, num_input_channels=spec.input_channels,
+        drop_rate=cfg.drop_rate, img_size=tuple(cfg.image_size),
+        continuous_latent_dim=cfg.ldc, disc_latent_dim=spec.num_classes,
+        sample_temperature=cfg.temperature, small_input=spec.small_input,
+        efficient=cfg.efficient, dtype=dtype)
+
+    steps_per_epoch = num_batches(len(split.unlabeled), cfg.batch_size)
+    lr_sched = multistep_lr(cfg.lr, cfg.adjust_lr, steps_per_epoch)
+    tx = sgd_torch(lr_sched, momentum=cfg.beta1, weight_decay=cfg.wd)
+    params, batch_stats = init_model(
+        model, jax.random.key(cfg.seed),
+        jnp.zeros((2, *cfg.image_size, spec.input_channels)))
+    state = dp.replicate(TrainState.create(
+        apply_fn=model.apply, params=params, batch_stats=batch_stats, tx=tx))
+
+    ckpt = CheckpointManager(cfg.base_path, spec.name, cfg.train_time, tag=tag)
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        state, start_epoch, stored_cfg = ckpt.restore(state, path=cfg.resume)
+        # reference restores args wholesale from the checkpoint (":202-213")
+        if stored_cfg:
+            for k, v in stored_cfg.items():
+                if hasattr(cfg, k) and k not in ("resume", "start_epoch"):
+                    setattr(cfg, k, v)
+        log_fn(f"=> loaded checkpoint '{cfg.resume}' (epoch {start_epoch})")
+
+    log_dir = os.path.join(cfg.base_path, f"{spec.name}-{tag}", "runs",
+                           f"train_time:{cfg.train_time}")
+    _prepare_writer_dir(log_dir, resume=bool(cfg.resume), assume_yes=cfg.yes,
+                        train_time=cfg.train_time)
+    writer = TBWriter(log_dir)
+
+    if m2:
+        raw_step = steps_lib.make_m2_train_step(
+            model, num_classes=spec.num_classes, bce=cfg.br,
+            x_sigma=cfg.x_sigma)
+    else:
+        raw_step = steps_lib.make_shot_vae_train_step(
+            model, num_classes=spec.num_classes, bce=cfg.br,
+            x_sigma=cfg.x_sigma, epsilon=cfg.epsilon, optimal_match=cfg.om)
+    raw_eval = steps_lib.make_vae_eval_step(
+        model, num_classes=spec.num_classes, bce=cfg.br, x_sigma=cfg.x_sigma)
+
+    def step_by_index(state, idx_l, idx_u, sched, key):
+        img_l, lab_l = train_ds.gather(idx_l)
+        img_u, lab_u = train_ds.gather(idx_u)
+        return raw_step(state, img_l, lab_l, img_u, lab_u, sched, key)
+
+    def eval_factory(ds):
+        def f(state, idx, weight, key):
+            img, lab = ds.gather(idx)
+            return raw_eval(state, img, lab, weight, key)
+        return f
+
+    train_jit = dp.jit_step(step_by_index, batch_argnums=(0, 1))
+    ev_valid = dp.jit_step(eval_factory(train_ds), batch_argnums=(0, 1),
+                           donate_state=False)
+    ev_test = dp.jit_step(eval_factory(test_ds), batch_argnums=(0, 1),
+                          donate_state=False)
+
+    base_key = jax.random.key(cfg.seed + 1000)
+    rng_l = np.random.default_rng(cfg.seed + 1)
+    rng_u = np.random.default_rng(cfg.seed + 2)
+    labeled_iter = infinite_batches(rng_l, split.labeled, cfg.batch_size)
+
+    best_valid_acc = -1.0
+    history = []
+    total_epochs = max_epochs if max_epochs is not None else cfg.epochs
+    for epoch in range(start_epoch, total_epochs):
+        epoch_key = jax.random.fold_in(base_key, epoch)
+        sched = _sched_to_device(shot_vae_epoch_schedules(epoch, cfg))
+        batch_time = AverageMeter()
+        kl_inference = AverageMeter()
+        end = time.time()
+        for i, idx_u in enumerate(epoch_batches(rng_u, split.unlabeled,
+                                                cfg.batch_size)):
+            idx_l = next(labeled_iter)
+            state, t_metrics = train_jit(
+                state, jnp.asarray(idx_l), jnp.asarray(idx_u), sched,
+                jax.random.fold_in(epoch_key, i))
+            if i % cfg.print_freq == 0:
+                # one host sync per print_freq steps only
+                kl_inference.update(float(t_metrics["kl_inference"]),
+                                    cfg.batch_size)
+                batch_time.update(time.time() - end)
+                log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
+                       f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})")
+            end = time.time()
+        writer.scalar("Train/KL_Inference", kl_inference.avg, epoch + 1)
+
+        # ---- valid & test (":409-510") ----
+        results = {}
+        for split_name, ev_jit, indices, ds in (
+                ("Valid", ev_valid, split.valid, train_ds),
+                ("Test", ev_test, np.arange(len(test_data.labels)), test_ds)):
+            acc = MetricAccumulator()
+            recon_imgs = raw_imgs = None
+            for j, (idx, weight) in enumerate(
+                    _padded_eval_batches(indices, cfg.batch_size)):
+                metrics, recon = ev_jit(state, idx, weight,
+                                        jax.random.fold_in(epoch_key,
+                                                           10_000 + j))
+                acc.update(metrics)
+                if recon_imgs is None:
+                    recon_imgs = np.asarray(recon[:4])
+                    raw_imgs = np.asarray(
+                        jnp.take(ds.images, idx[:4], axis=0)
+                    ).astype(np.float32) / 255.0
+            avg = acc.averages()
+            results[split_name] = avg
+            writer.scalar(f"{split_name}/KL(q(z|X)||p(z))",
+                          avg["cont_kl_avg"], epoch + 1)
+            writer.scalar(f"{split_name}/KL(q(y|X)||p(y))",
+                          avg["disc_kl_avg"], epoch + 1)
+            writer.scalar(f"{split_name}/log(p(X|z,y))", avg["mse_avg"],
+                          epoch + 1)
+            writer.scalar(f"{split_name}/ELBO", avg["elbo_avg"], epoch + 1)
+            writer.scalar(f"{split_name}/top1 accuracy", avg["top1_rate"],
+                          epoch + 1)
+            if spec.name == "Cifar100":
+                writer.scalar(f"{split_name}/top 5 accuracy",
+                              avg["top5_rate"], epoch + 1)
+            if epoch % cfg.reconstruct_freq == 0 and raw_imgs is not None:
+                writer.image_grid(f"{split_name}/Raw_Image", raw_imgs,
+                                  epoch + 1)
+                writer.image_grid(f"{split_name}/Reconstruct_Image",
+                                  recon_imgs, epoch + 1)
+
+        valid_acc = results["Valid"]["top1_rate"]
+        test_acc = results["Test"]["top1_rate"]
+        log_fn(f"Epoch {epoch}: valid top1 {valid_acc:.4f}, "
+               f"test top1 {test_acc:.4f}")
+        history.append({"epoch": epoch, "valid_top1": valid_acc,
+                        "test_top1": test_acc})
+
+        ckpt.save(state, epoch=epoch + 1, config=cfg.asdict())
+        # deviation (documented): best = MAX validation accuracy
+        if valid_acc > best_valid_acc:
+            best_valid_acc = valid_acc
+            if epoch >= cfg.adjust_lr[-1]:
+                ckpt.save(state, epoch=epoch + 1, config=cfg.asdict(),
+                          best=True)
+        # Cifar10 ewm x5 bump at the first milestone (":255-258", SHOT only)
+        if not m2 and spec.name == "Cifar10" and cfg.annotated_ratio >= 0.05 \
+                and epoch == cfg.adjust_lr[0]:
+            cfg.ewm = cfg.ewm * 5
+        writer.flush()
+
+    writer.close()
+    return {"best_valid_acc": best_valid_acc, "history": history,
+            "state": state}
+
+
+def run_classifier(cfg, *, max_epochs: Optional[int] = None,
+                   log_fn=print) -> dict:
+    """Supervised WRN baseline (main_classifier.py:82-278): trains on the
+    labeled split only."""
+    spec = cfg.apply_dataset_overrides()
+    train_data, _ = load_dataset(spec.name, cfg.base_path, train=True,
+                                 synthetic_fallback=cfg.synthetic_data)
+    test_data, _ = load_dataset(spec.name, cfg.base_path, train=False,
+                                synthetic_fallback=cfg.synthetic_data)
+    split = ssl_split(train_data.labels, spec.valid_per_class,
+                      spec.annotated_per_class, spec.num_classes,
+                      seed=cfg.seed)
+    dp = _make_dp(cfg)
+    train_ds = DeviceDataset(train_data, sharding=dp.replicated())
+    test_ds = DeviceDataset(test_data, sharding=dp.replicated())
+
+    dtype = jnp.bfloat16 if cfg.bf16 else None
+    model = build_classifier(cfg.net_name, spec.num_classes,
+                             drop_rate=cfg.drop_rate,
+                             small_input=spec.small_input, dtype=dtype)
+    batch = min(cfg.batch_size, len(split.labeled))
+    batch = dp.pad_batch_size(batch)
+    steps_per_epoch = max(1, num_batches(len(split.labeled), batch,
+                                         drop_last=False))
+    lr_sched = multistep_lr(cfg.lr, cfg.adjust_lr, steps_per_epoch)
+    tx = sgd_torch(lr_sched, momentum=cfg.beta1, weight_decay=cfg.wd)
+    params, batch_stats = init_model(
+        model, jax.random.key(cfg.seed),
+        jnp.zeros((2, *cfg.image_size, spec.input_channels)))
+    # explicit init override (classifier_model/wideresnet.py:104-118)
+    params = apply_classifier_init(jax.random.key(cfg.seed + 7), params)
+    state = dp.replicate(TrainState.create(
+        apply_fn=model.apply, params=params, batch_stats=batch_stats, tx=tx))
+
+    log_dir = os.path.join(cfg.base_path, f"{spec.name}-SSL-Classifier",
+                           "runs", f"train_time:{cfg.train_time}")
+    _prepare_writer_dir(log_dir, resume=False, assume_yes=cfg.yes,
+                        train_time=cfg.train_time)
+    writer = TBWriter(log_dir)
+
+    raw_step = steps_lib.make_classifier_train_step(model)
+    raw_eval = steps_lib.make_classifier_eval_step(
+        model, num_classes=spec.num_classes)
+
+    def step_by_index(state, idx, key):
+        img, lab = train_ds.gather(idx)
+        return raw_step(state, img, lab, key)
+
+    def eval_factory(ds):
+        def f(state, idx, weight):
+            img, lab = ds.gather(idx)
+            return raw_eval(state, img, lab, weight)
+        return f
+
+    train_jit = dp.jit_step(step_by_index, batch_argnums=(0,))
+    ev_valid = dp.jit_step(eval_factory(train_ds), batch_argnums=(0, 1),
+                           donate_state=False)
+    ev_test = dp.jit_step(eval_factory(test_ds), batch_argnums=(0, 1),
+                          donate_state=False)
+
+    rng = np.random.default_rng(cfg.seed)
+    labeled_iter = infinite_batches(rng, split.labeled, batch)
+    base_key = jax.random.key(cfg.seed + 1000)
+    history = []
+    total_epochs = max_epochs if max_epochs is not None else cfg.epochs
+    for epoch in range(total_epochs):
+        losses = AverageMeter()
+        for i in range(steps_per_epoch):
+            idx = next(labeled_iter)
+            state, metrics = train_jit(
+                state, jnp.asarray(idx),
+                jax.random.fold_in(jax.random.fold_in(base_key, epoch), i))
+            if i % cfg.print_freq == 0:
+                losses.update(float(metrics["cls_loss"]), batch)
+        writer.scalar("Train/cls_loss", losses.avg, epoch + 1)
+
+        out = {}
+        for name, ev_jit, indices in (("Valid", ev_valid, split.valid),
+                                      ("Test", ev_test,
+                                       np.arange(len(test_data.labels)))):
+            acc = MetricAccumulator()
+            for idx, weight in _padded_eval_batches(indices, cfg.batch_size):
+                acc.update(ev_jit(state, idx, weight))
+            avg = acc.averages()
+            out[name] = avg
+            writer.scalar(f"{name}/cls_loss", avg["cls_loss_avg"], epoch + 1)
+            writer.scalar(f"{name}/top 1 accuracy", avg["top1_rate"],
+                          epoch + 1)
+            if spec.name == "Cifar100":
+                writer.scalar(f"{name}/top 5 accuracy", avg["top5_rate"],
+                              epoch + 1)
+        log_fn(f"Epoch {epoch}: valid {out['Valid']['top1_rate']:.4f} "
+               f"test {out['Test']['top1_rate']:.4f}")
+        history.append({"epoch": epoch,
+                        "valid_top1": out["Valid"]["top1_rate"],
+                        "test_top1": out["Test"]["top1_rate"]})
+    writer.close()
+    return {"history": history, "state": state}
+
+
+class ReduceLROnPlateau:
+    """Host-side torch ReduceLROnPlateau (factor 0.1, patience 10, mode min)
+    used by the SVHN smooth-ELBO driver (main_smooth_ELBO_svhn.py:429,130)."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 10):
+        self.factor = factor
+        self.patience = patience
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale *= self.factor
+                self.bad_epochs = 0
+        return self.scale
+
+
+def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
+                    max_epochs: Optional[int] = None, log_fn=print) -> dict:
+    """One-stage smooth-ELBO trainer (main_smooth_ELBO_mnist.py:36-225)."""
+    from shotvae_tpu.models.smooth_vae import mnist_vae_config, svhn_vae_config
+
+    assert dataset in ("mnist", "svhn")
+    data_dir = cfg.path_to_data or os.path.join(cfg.base_path, "dataset",
+                                                dataset)
+    try:
+        if dataset == "mnist":
+            train = load_mnist(data_dir, train=True)
+            test = load_mnist(data_dir, train=False)
+        else:
+            train = load_svhn(data_dir, train=True)
+            test = load_svhn(data_dir, train=False)
+    except FileNotFoundError:
+        if not cfg.synthetic_data:
+            raise
+        shape = (32, 32, 1) if dataset == "mnist" else (32, 32, 3)
+        train = synthetic_dataset(2048, shape, 10, seed=0)
+        test = synthetic_dataset(512, shape, 10, seed=1)
+
+    # MNIST 28x28 -> 32x32 resize once, on device (Resize(32) parity)
+    if train.images.shape[1] != 32:
+        def _resize(ds):
+            r = resize_batch(jnp.asarray(ds.images, jnp.float32), 32)
+            return type(ds)(np.asarray(jnp.clip(jnp.round(r), 0, 255),
+                                       dtype=np.uint8), ds.labels)
+        train, test = _resize(train), _resize(test)
+
+    labeled_idx = labeled_subset_per_class(train.labels,
+                                           cfg.size_labeled_data, 10,
+                                           seed=cfg.seed)
+    unlabeled_idx = np.arange(len(train.labels))
+    log_fn(f"labeled size {len(labeled_idx)} unlabeled size "
+           f"{len(unlabeled_idx)} dev size {len(test.labels)}")
+
+    dp = DataParallel()
+    train_ds = DeviceDataset(train, sharding=dp.replicated())
+    test_ds = DeviceDataset(test, sharding=dp.replicated())
+
+    mcfg = mnist_vae_config() if dataset == "mnist" else svhn_vae_config()
+    mcfg["latent_cont_dim"] = cfg.latent_spec_cont
+    mcfg["disc_dims"] = tuple(cfg.latent_spec_disc)
+    model = SmoothVAE(**mcfg)
+
+    import optax
+
+    plateau = ReduceLROnPlateau() if cfg.use_plateau_scheduler else None
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: adam_torch(learning_rate))(
+            learning_rate=cfg.learning_rate)
+    params, batch_stats = init_model(
+        model, jax.random.key(cfg.seed),
+        jnp.zeros((2, 32, 32, mcfg["img_channels"])))
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              batch_stats=batch_stats, tx=tx)
+
+    raw_step = steps_lib.make_smooth_elbo_train_step(
+        model, alpha=cfg.alpha, cont_capacity=tuple(cfg.cont_capacity),
+        disc_capacity=tuple(cfg.disc_capacity),
+        disc_dims=tuple(cfg.latent_spec_disc))
+    raw_eval = steps_lib.make_smooth_elbo_eval_step(model)
+
+    def step_by_index(state, idx_u, idx_l, key):
+        img_u, _ = train_ds.gather(idx_u)
+        img_l, lab_l = train_ds.gather(idx_l)
+        return raw_step(state, img_u, img_l, lab_l, key)
+
+    def eval_by_index(state, idx, weight):
+        img, lab = test_ds.gather(idx)
+        return raw_eval(state, img, lab, weight)
+
+    train_jit = jax.jit(step_by_index, donate_argnums=0)
+    eval_jit = jax.jit(eval_by_index)
+
+    save_dir = os.path.join(cfg.base_path, f"{dataset.upper()}-One-Stage-VAE")
+    os.makedirs(save_dir, exist_ok=True)
+    log_path = os.path.join(save_dir, f"{dataset.upper()}-One-Stage-VAE.txt")
+    logf = open(log_path, "w")
+
+    rng_u = np.random.default_rng(cfg.seed + 1)
+    rng_l = np.random.default_rng(cfg.seed + 2)
+    labeled_iter = infinite_batches(rng_l, labeled_idx, cfg.labeled_batch_size)
+    base_key = jax.random.key(cfg.seed + 1000)
+    history = []
+    total_epochs = max_epochs if max_epochs is not None else cfg.epochs
+    for epoch in range(total_epochs):
+        sums: dict = {}
+        nb = 0
+        for i, idx_u in enumerate(epoch_batches(rng_u, unlabeled_idx,
+                                                cfg.unlabeled_batch_size)):
+            idx_l = next(labeled_iter)
+            state, metrics = train_jit(
+                state, jnp.asarray(idx_u), jnp.asarray(idx_l),
+                jax.random.fold_in(jax.random.fold_in(base_key, epoch), i))
+            nb += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+
+        acc = MetricAccumulator()
+        for idx, weight in _padded_eval_batches(
+                np.arange(len(test.labels)), cfg.test_batch_size):
+            acc.update(eval_jit(state, idx, weight))
+        avgs = acc.averages()
+        test_acc = avgs["correct_rate"]
+        mean_loss = sums.get("loss", 0.0) / max(nb, 1)
+        tmp = (f"Epoch: {epoch} Average loss: {mean_loss:.2f} "
+               f"Test Accuracy: {test_acc}\n")
+        tmp += (f"u_recon_loss: {sums.get('u_recon', 0) / nb:.2f}, "
+                f"u_cont: {sums.get('u_cont_cap', 0) / nb:.2f}, "
+                f"u_disc: {sums.get('u_disc_cap', 0) / nb:.2f}\n")
+        tmp += (f"l_recon_loss: {sums.get('l_recon', 0) / nb:.2f}, "
+                f"l_cont: {sums.get('l_cont_cap', 0) / nb:.2f}, "
+                f"l_disc: {sums.get('l_disc_cap', 0) / nb:.2f}, "
+                f"class: {sums.get('classification', 0) / nb:.2f}\n")
+        log_fn(tmp)
+        logf.write(tmp + "\n")
+        history.append({"epoch": epoch, "test_acc": float(test_acc),
+                        "mean_loss": mean_loss})
+        if plateau is not None:
+            scale = plateau.step(mean_loss)
+            state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                cfg.learning_rate * scale, jnp.float32)
+    logf.close()
+
+    ckpt = CheckpointManager(cfg.base_path, dataset.upper(), cfg.train_time,
+                             tag="One-Stage-VAE")
+    ckpt.save(state, epoch=total_epochs, config=cfg.asdict())
+    return {"history": history, "state": state, "log_path": log_path}

@@ -1,0 +1,420 @@
+"""Jitted train & eval steps for all four trainer families.
+
+Each ``make_*_step`` returns a pure function suitable for ``jax.jit`` (the
+callers in ``shotvae_tpu.parallel``/``shotvae_tpu.train.loop`` jit it with
+mesh shardings). The SHOT-VAE step fuses the reference's per-iteration
+4 forwards + 2 backwards (main_shot_vae.py:280-366) into ONE
+``value_and_grad`` over ``loss_supervised + loss_unsupervised`` — same math
+(gradient accumulation of two .backward() calls == gradient of the sum), one
+compiled program, no host round-trips. Augmentation (uint8 -> float,
+pad/crop/flip) happens inside the step.
+
+BatchNorm running stats are threaded through the 4 forwards sequentially,
+matching the reference's 4 train-mode forwards each updating BN stats.
+"""
+
+from __future__ import annotations
+
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import nn as jnn
+
+from shotvae_tpu.data.pipeline import augment_batch, to_float
+from shotvae_tpu.ops import losses, mixup
+from shotvae_tpu.train.state import TrainState
+
+
+class AugmentConfig(NamedTuple):
+    """On-device train-time augmentation policy (lib/dataloader.py parity)."""
+
+    pad: int = 4
+    crop: int = 32
+    flip: bool = True
+    enabled: bool = True
+    normalize: bool = False  # [-1,1] for the smooth (tanh) pipeline
+
+
+def _prepare(key, images_u8, aug: AugmentConfig, train: bool):
+    x = to_float(images_u8, normalize=aug.normalize)
+    if train and aug.enabled:
+        x = augment_batch(key, x, pad=aug.pad, crop=aug.crop, flip=aug.flip)
+    return x
+
+
+def _apply_vae(model, params, batch_stats, x, key, *, train=True, **kwargs):
+    """One VAE forward, returning outputs + updated BN stats."""
+    key_s, key_d = jax.random.split(key)
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, updates = model.apply(
+            variables, x, train=True, rngs={"sample": key_s, "dropout": key_d},
+            mutable=["batch_stats"], **kwargs)
+        return out, updates["batch_stats"]
+    out = model.apply(variables, x, train=False, rngs={"sample": key_s}, **kwargs)
+    return out, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# SHOT-VAE (main_shot_vae.py:261-384)
+# ---------------------------------------------------------------------------
+
+
+def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
+                             x_sigma: float, epsilon: float,
+                             optimal_match: bool,
+                             aug: AugmentConfig = AugmentConfig()):
+    """The SHOT-VAE hot loop as one jittable function.
+
+    Call signature: ``step(state, img_l, lab_l, img_u, lab_u, sched, key)``
+    where ``sched`` is the dict from
+    ``shotvae_tpu.ops.schedules.shot_vae_epoch_schedules`` (traced scalars —
+    changing them does not recompile).
+    """
+
+    def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched):
+        keys = jax.random.split(key, 6)
+        bs = batch_stats
+        batch_l = x_l.shape[0]
+        batch_u = x_u.shape[0]
+        onehot_l = jnn.one_hot(lab_l, num_classes, dtype=jnp.float32)
+
+        # ---- labeled forward 1: ground-truth label path (":285-295") ----
+        (recon_l, mean_l, ls_l, la_l), bs = _apply_vae(
+            model, params, bs, x_l, keys[0], labels=lab_l)
+        r_l, ckl_l, dkl_l = losses.elbo_terms(
+            x_l, recon_l, mean_l, ls_l, la_l, num_classes=num_classes,
+            bce=bce, x_sigma=x_sigma)
+        elbo_l = (r_l
+                  + sched["kl_beta_c"] * losses.mi_hinge(ckl_l, sched["cmi"])
+                  + sched["kl_beta_d"] * losses.mi_hinge(dkl_l, sched["dmi"]))
+
+        # ---- labeled forward 2: label-smoothing interpolation (":297-322") ----
+        sg = jax.lax.stop_gradient
+        sm = mixup.label_smoothing(keys[1], sg(x_l), sg(mean_l), sg(ls_l),
+                                   sg(la_l), lab_l, epsilon=epsilon)
+        (_, mean_sm, ls_sm, la_sm), bs = _apply_vae(
+            model, params, bs, sm.image, keys[2], labels=lab_l, mixup=True,
+            labels_mixup=sm.partner_labels, mixup_lam=sm.lam)
+        onehot_partner = jnn.one_hot(sm.partner_labels, num_classes,
+                                     dtype=jnp.float32)
+        disc_post_l = (sm.lam * losses.cls_nll(la_sm, onehot_l)
+                       + (1.0 - sm.lam) * losses.cls_nll(la_sm, onehot_partner))
+        cont_post_l = (jnp.sum((mean_sm - sm.z_mean) ** 2)
+                       + jnp.sum((jnp.exp(ls_sm) - sm.z_sigma) ** 2)) / batch_l
+        elbo_l = elbo_l + sched["kl_beta_c"] * sched["pwm"] * cont_post_l
+        loss_supervised = sched["ew"] * elbo_l + disc_post_l
+
+        # ---- unlabeled forward 3: gumbel-softmax path (":327-346") ----
+        (recon_u, mean_u, ls_u, la_u), bs = _apply_vae(
+            model, params, bs, x_u, keys[3])
+        r_u, ckl_u, dkl_u = losses.elbo_terms(
+            x_u, recon_u, mean_u, ls_u, la_u, num_classes=num_classes,
+            bce=bce, x_sigma=x_sigma)
+        elbo_u = (r_u
+                  + sched["kl_beta_c"] * losses.mi_hinge(ckl_u, sched["cmi"])
+                  + sched["kl_beta_d"] * losses.mi_hinge(dkl_u, sched["dmi"]))
+        # monitoring only (":331-339"): KL vs smoothed true label
+        inference_kl = losses.inference_kl_metric(sg(la_u), lab_u, num_classes)
+
+        # ---- unlabeled forward 4: posterior mixup (":348-362") ----
+        mx = mixup.mixup_vae_data(keys[4], sg(x_u), sg(mean_u), sg(ls_u),
+                                  sg(la_u), optimal_match=optimal_match)
+        (_, mean_mx, ls_mx, la_mx), bs = _apply_vae(
+            model, params, bs, mx.image, keys[5])
+        disc_post_u = losses.cls_nll(la_mx, mx.disc_alpha)
+        cont_post_u = (jnp.sum((mean_mx - mx.z_mean) ** 2)
+                       + jnp.sum((jnp.exp(ls_mx) - mx.z_sigma) ** 2)) / batch_u
+        elbo_u = elbo_u + sched["kl_beta_c"] * sched["pwm"] * cont_post_u
+        loss_unsupervised = sched["ew"] * elbo_u + sched["ucw"] * disc_post_u
+
+        total = loss_supervised + loss_unsupervised
+        metrics = {
+            "loss": total,
+            "loss_supervised": loss_supervised,
+            "loss_unsupervised": loss_unsupervised,
+            "recon_l": r_l, "cont_kl_l": ckl_l, "disc_kl_l": dkl_l,
+            "recon_u": r_u, "cont_kl_u": ckl_u, "disc_kl_u": dkl_u,
+            "kl_inference": inference_kl,
+        }
+        return total, (bs, metrics)
+
+    def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key):
+        key_aug_l, key_aug_u, key_loss = jax.random.split(key, 3)
+        x_l = _prepare(key_aug_l, img_l, aug, train=True)
+        x_u = _prepare(key_aug_u, img_u, aug, train=True)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, key_loss, x_l, lab_l, x_u, lab_u,
+            sched)
+        return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# M2 VAE (main_M2_vae.py:242-330)
+# ---------------------------------------------------------------------------
+
+
+def make_m2_train_step(model, *, num_classes: int, bce: bool, x_sigma: float,
+                       aug: AugmentConfig = AugmentConfig()):
+    """M2 baseline: no mixup, no posterior terms; CE on q(y|x) directly."""
+
+    def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched):
+        keys = jax.random.split(key, 2)
+        bs = batch_stats
+        onehot_l = jnn.one_hot(lab_l, num_classes, dtype=jnp.float32)
+
+        (recon_l, mean_l, ls_l, la_l), bs = _apply_vae(
+            model, params, bs, x_l, keys[0], labels=lab_l)
+        r_l, ckl_l, dkl_l = losses.elbo_terms(
+            x_l, recon_l, mean_l, ls_l, la_l, num_classes=num_classes,
+            bce=bce, x_sigma=x_sigma)
+        elbo_l = (r_l
+                  + sched["kl_beta_c"] * losses.mi_hinge(ckl_l, sched["cmi"])
+                  + sched["kl_beta_d"] * losses.mi_hinge(dkl_l, sched["dmi"]))
+        disc_post_l = losses.cls_nll(la_l, onehot_l)
+        loss_supervised = sched["ew"] * elbo_l + disc_post_l
+
+        (recon_u, mean_u, ls_u, la_u), bs = _apply_vae(
+            model, params, bs, x_u, keys[1])
+        r_u, ckl_u, dkl_u = losses.elbo_terms(
+            x_u, recon_u, mean_u, ls_u, la_u, num_classes=num_classes,
+            bce=bce, x_sigma=x_sigma)
+        elbo_u = (r_u
+                  + sched["kl_beta_c"] * losses.mi_hinge(ckl_u, sched["cmi"])
+                  + sched["kl_beta_d"] * losses.mi_hinge(dkl_u, sched["dmi"]))
+        loss_unsupervised = sched["ew"] * elbo_u
+        inference_kl = losses.inference_kl_metric(
+            jax.lax.stop_gradient(la_u), lab_u, num_classes)
+
+        total = loss_supervised + loss_unsupervised
+        metrics = {
+            "loss": total,
+            "loss_supervised": loss_supervised,
+            "loss_unsupervised": loss_unsupervised,
+            "recon_l": r_l, "cont_kl_l": ckl_l, "disc_kl_l": dkl_l,
+            "recon_u": r_u, "cont_kl_u": ckl_u, "disc_kl_u": dkl_u,
+            "kl_inference": inference_kl,
+        }
+        return total, (bs, metrics)
+
+    def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key):
+        key_aug_l, key_aug_u, key_loss = jax.random.split(key, 3)
+        x_l = _prepare(key_aug_l, img_l, aug, train=True)
+        x_u = _prepare(key_aug_u, img_u, aug, train=True)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, key_loss, x_l, lab_l, x_u, lab_u,
+            sched)
+        return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Shared VAE evaluation (main_shot_vae.py:409-510 valid/test)
+# ---------------------------------------------------------------------------
+
+
+def make_vae_eval_step(model, *, num_classes: int, bce: bool, x_sigma: float,
+                       aug: AugmentConfig = AugmentConfig()):
+    """Eval pass: BN uses running stats, dropout off, but z and gumbel-y are
+    still *sampled* — the reference ``Sample`` has no eval switch
+    (vae.py:23-56); accuracy only uses the deterministic disc_log_alpha.
+
+    ``weight`` is a per-sample 0/1 mask so ragged tail batches can be padded
+    to the static batch size without biasing any metric. Returns per-batch
+    weighted SUMS plus the effective count — host meters divide exactly like
+    the reference AverageMeters — and the sigmoid reconstruction for image
+    logging.
+    """
+
+    def step(state: TrainState, img, lab, weight, key):
+        x = to_float(img, normalize=aug.normalize)
+        (recon, mean, ls, la), _ = _apply_vae(
+            model, state.params, state.batch_stats, x, key, train=False)
+        w = weight.astype(jnp.float32)
+        flat = lambda t: t.reshape(t.shape[0], -1)
+        if bce:
+            logits = flat(recon)
+            tgt = flat(x)
+            per = (jnp.maximum(logits, 0) - logits * tgt
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            recon_per = jnp.sum(per, axis=1)
+        else:
+            recon_per = jnp.sum((jnn.sigmoid(flat(recon)) - flat(x)) ** 2,
+                                axis=1) / (2 * x_sigma**2)
+        lss = 2.0 * ls
+        ckl_per = 0.5 * jnp.sum(mean**2 + jnp.exp(lss) - lss - 1.0, axis=1)
+        dkl_per = jnp.sum(jnp.exp(la) * (la - jnp.log(1.0 / num_classes)),
+                          axis=1)
+        recon_sig = jnn.sigmoid(recon)
+        mse_per = jnp.sum(flat(recon_sig - x) ** 2, axis=1) / (2 * x_sigma**2)
+        # the reference's ad-hoc "ELBO" metric (":435")
+        elbo_per = mse_per + 0.01 * (ckl_per + dkl_per)
+        probs = jnp.exp(la)
+        top1_per = (jnp.argmax(probs, axis=1) == lab)
+        k = min(5, num_classes)
+        _, topk_idx = jax.lax.top_k(probs, k)
+        top5_per = jnp.any(topk_idx == lab[:, None], axis=1)
+        metrics = {
+            "recon_sum": jnp.sum(recon_per * w),
+            "cont_kl_sum": jnp.sum(ckl_per * w),
+            "disc_kl_sum": jnp.sum(dkl_per * w),
+            "mse_sum": jnp.sum(mse_per * w),
+            "elbo_sum": jnp.sum(elbo_per * w),
+            "top1_count": jnp.sum(top1_per * w),
+            "top5_count": jnp.sum(top5_per * w),
+            "count": jnp.sum(w),
+        }
+        return metrics, recon_sig
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Supervised classifier (main_classifier.py:181-278)
+# ---------------------------------------------------------------------------
+
+
+def softmax_ce(logits, labels):
+    """F.cross_entropy parity: mean over batch of -log_softmax[label]."""
+    log_probs = jnn.log_softmax(logits.astype(jnp.float32), axis=1)
+    return -jnp.mean(jnp.take_along_axis(log_probs, labels[:, None], axis=1))
+
+
+def make_classifier_train_step(model, *, aug: AugmentConfig = AugmentConfig()):
+    def loss_fn(params, batch_stats, key, x, lab):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, updates = model.apply(
+            variables, x, train=True, rngs={"dropout": key},
+            mutable=["batch_stats"])
+        loss = softmax_ce(logits, lab)
+        return loss, (updates["batch_stats"], {"cls_loss": loss})
+
+    def step(state: TrainState, img, lab, key):
+        key_aug, key_loss = jax.random.split(key)
+        x = _prepare(key_aug, img, aug, train=True)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, key_loss, x, lab)
+        return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
+
+    return step
+
+
+def make_classifier_eval_step(model, *, num_classes: int,
+                              aug: AugmentConfig = AugmentConfig()):
+    def step(state: TrainState, img, lab, weight):
+        x = to_float(img, normalize=aug.normalize)
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, x,
+            train=False)
+        w = weight.astype(jnp.float32)
+        log_probs = jnn.log_softmax(logits.astype(jnp.float32), axis=1)
+        nll_per = -jnp.take_along_axis(log_probs, lab[:, None], axis=1)[:, 0]
+        probs = jnn.softmax(logits, axis=1)
+        top1_per = (jnp.argmax(probs, axis=1) == lab)
+        k = min(5, num_classes)
+        _, topk_idx = jax.lax.top_k(probs, k)
+        top5_per = jnp.any(topk_idx == lab[:, None], axis=1)
+        return {"cls_loss_sum": jnp.sum(nll_per * w),
+                "top1_count": jnp.sum(top1_per * w),
+                "top5_count": jnp.sum(top5_per * w),
+                "count": jnp.sum(w)}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Smooth-ELBO one-stage trainer (main_smooth_ELBO_mnist.py:125-290)
+# ---------------------------------------------------------------------------
+
+
+def make_smooth_elbo_train_step(model, *, alpha: float, cont_capacity,
+                                disc_capacity, disc_dims,
+                                aug: AugmentConfig = AugmentConfig(
+                                    enabled=False, normalize=True)):
+    """Capacity-annealed joint loss on (unlabeled + labeled) batches.
+
+    ``cont_capacity`` / ``disc_capacity`` are the reference 4-tuples
+    (min, max, num_iters, gamma). The capacity ramp uses the *global step*
+    (state.step + 1, matching the reference's pre-incremented num_steps).
+    """
+    import numpy as np
+
+    disc_theoretical_max = float(sum(np.log(d) for d in disc_dims))
+
+    def one_loss(params, bs, key, x, labels, step):
+        (recon, dist, _, _), bs = _smooth_apply(params, bs, x, key, labels)
+        r = losses.smooth_recon_loss(x, recon)
+        mean, logvar = dist["cont"]
+        kl_cont, _ = losses.kl_normal_loss(mean, logvar)
+        c_min, c_max, c_iters, c_gamma = cont_capacity
+        cont_cap_loss = losses.capacity_loss(kl_cont, step, c_min, c_max,
+                                             c_iters, c_gamma)
+        kl_disc = losses.kl_multiple_discrete_loss(dist["disc"])
+        d_min, d_max, d_iters, d_gamma = disc_capacity
+        disc_cap_loss = losses.capacity_loss(
+            kl_disc, step, d_min, d_max, d_iters, d_gamma,
+            theoretical_max=disc_theoretical_max)
+        loss = r + cont_cap_loss + disc_cap_loss
+        cls = jnp.float32(0.0)
+        if labels is not None:
+            onehot = jnn.one_hot(labels, disc_dims[0], dtype=jnp.float32)
+            cls = alpha * losses.bce_probs_mean(dist["disc"][0], onehot)
+            loss = loss + cls
+        return loss, (bs, r, cont_cap_loss, disc_cap_loss, cls)
+
+    def _smooth_apply(params, bs, x, key, labels):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": bs}, x, labels=labels,
+            train=True, rngs={"sample": key}, mutable=["batch_stats"])
+        return out, updates.get("batch_stats", bs)
+
+    def loss_fn(params, batch_stats, key, x_u, x_l, lab_l, step):
+        k_u, k_l = jax.random.split(key)
+        bs = batch_stats
+        loss_u, (bs, r_u, cc_u, dc_u, _) = one_loss(params, bs, k_u, x_u, None, step)
+        loss_l, (bs, r_l, cc_l, dc_l, cls) = one_loss(params, bs, k_l, x_l, lab_l, step)
+        total = loss_u + loss_l
+        metrics = {
+            "loss": total,
+            "u_recon": r_u, "u_cont_cap": cc_u, "u_disc_cap": dc_u,
+            "l_recon": r_l, "l_cont_cap": cc_l, "l_disc_cap": dc_l,
+            "classification": cls,
+        }
+        return total, (bs, metrics)
+
+    def step(state: TrainState, img_u, img_l, lab_l, key):
+        x_u = to_float(img_u, normalize=True)
+        x_l = to_float(img_l, normalize=True)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, key, x_u, x_l, lab_l,
+            state.step + 1)
+        return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
+
+    return step
+
+
+def make_smooth_elbo_eval_step(model):
+    """Accuracy from argmax q(y|x) (main_smooth_ELBO_mnist.py:213-225)."""
+
+    def step(state: TrainState, img, lab, weight):
+        x = to_float(img, normalize=True)
+        _, dist, _, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, x,
+            train=False)
+        w = weight.astype(jnp.float32)
+        pred = jnp.argmax(dist["disc"][0], axis=1)
+        return {"correct_count": jnp.sum((pred == lab) * w),
+                "count": jnp.sum(w)}
+
+    return step
+
+

@@ -1,0 +1,129 @@
+"""Tests for dataset parsers (synthetic), SSL split invariants, pipeline."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from shotvae_tpu.data import (
+    DeviceDataset,
+    augment_batch,
+    epoch_batches,
+    infinite_batches,
+    ssl_split,
+    synthetic_dataset,
+)
+from shotvae_tpu.data.pipeline import num_batches, resize_batch, to_float
+from shotvae_tpu.data.splits import labeled_subset_per_class, sl_split
+
+
+class TestSyntheticDataset:
+    def test_shapes_and_determinism(self):
+        a = synthetic_dataset(128, (32, 32, 3), 10, seed=5)
+        b = synthetic_dataset(128, (32, 32, 3), 10, seed=5)
+        assert a.images.shape == (128, 32, 32, 3) and a.images.dtype == np.uint8
+        assert a.labels.shape == (128,) and a.labels.dtype == np.int32
+        np.testing.assert_array_equal(a.images, b.images)
+
+    def test_classes_learnable(self):
+        d = synthetic_dataset(512, (8, 8, 1), 4, seed=0)
+        # class-conditional means must differ (structure exists to learn)
+        means = [d.images[d.labels == c].mean() for c in range(4)]
+        assert np.std(means) > 1.0
+
+
+class TestSSLSplit:
+    def test_reference_invariants(self):
+        labels = np.repeat(np.arange(10), 100)  # 100 per class
+        s = ssl_split(labels, valid_per_class=20, annotated_per_class=10,
+                      num_classes=10, seed=1)
+        assert len(s.valid) == 200
+        assert len(s.labeled) == 100
+        assert len(s.unlabeled) == 800  # everything except valid
+        # labeled subset of unlabeled (reference semantics, dataloader.py:135)
+        assert set(s.labeled) <= set(s.unlabeled)
+        # valid disjoint from unlabeled
+        assert not (set(s.valid) & set(s.unlabeled))
+        # class balance in labeled
+        counts = np.bincount(labels[s.labeled], minlength=10)
+        np.testing.assert_array_equal(counts, 10)
+
+    def test_seed_determinism(self):
+        labels = np.repeat(np.arange(5), 40)
+        a = ssl_split(labels, 5, 5, 5, seed=7)
+        b = ssl_split(labels, 5, 5, 5, seed=7)
+        c = ssl_split(labels, 5, 5, 5, seed=8)
+        np.testing.assert_array_equal(a.labeled, b.labeled)
+        assert not np.array_equal(a.labeled, c.labeled)
+
+    def test_sl_split(self):
+        labels = np.repeat(np.arange(4), 25)
+        s = sl_split(labels, 5, 4, seed=1)
+        assert len(s.valid) == 20 and len(s.train) == 80
+        assert not (set(s.valid) & set(s.train))
+
+    def test_one_stage_labeled_subset(self):
+        labels = np.repeat(np.arange(10), 50)
+        idx = labeled_subset_per_class(labels, size_labeled_data=100,
+                                       num_classes=10, seed=1)
+        assert len(idx) == 100
+        np.testing.assert_array_equal(np.bincount(labels[idx], minlength=10), 10)
+
+
+class TestPipeline:
+    def test_to_float_ranges(self):
+        x = jnp.array([[0, 255]], dtype=jnp.uint8)
+        np.testing.assert_allclose(np.asarray(to_float(x)), [[0.0, 1.0]],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(to_float(x, normalize=True)),
+                                   [[-1.0, 1.0]], atol=1e-6)
+
+    def test_augment_preserves_shape_and_content(self):
+        key = jax.random.key(0)
+        imgs = jnp.arange(2 * 32 * 32 * 3, dtype=jnp.float32).reshape(2, 32, 32, 3)
+        out = augment_batch(key, imgs)
+        assert out.shape == (2, 32, 32, 3)
+        # values come from the (reflected) original value set
+        assert set(np.unique(out)).issubset(set(np.unique(imgs)))
+
+    def test_augment_mnist_28_to_32(self):
+        key = jax.random.key(1)
+        imgs = jnp.zeros((4, 28, 28, 1))
+        out = augment_batch(key, imgs, pad=4, crop=32)
+        assert out.shape == (4, 32, 32, 1)
+
+    def test_augment_randomises_across_keys(self):
+        imgs = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3))
+        a = augment_batch(jax.random.key(3), imgs)
+        b = augment_batch(jax.random.key(4), imgs)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_augment_flip_off_no_flip(self):
+        imgs = jax.random.uniform(jax.random.key(5), (2, 32, 32, 3))
+        out = augment_batch(jax.random.key(6), imgs, pad=0, crop=32, flip=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+
+    def test_resize(self):
+        imgs = jnp.ones((2, 28, 28, 1))
+        assert resize_batch(imgs, 32).shape == (2, 32, 32, 1)
+
+    def test_device_dataset_gather(self):
+        d = DeviceDataset(synthetic_dataset(64, (8, 8, 1), 4))
+        imgs, labels = jax.jit(d.gather)(jnp.array([0, 5, 9]))
+        assert imgs.shape == (3, 8, 8, 1) and imgs.dtype == jnp.uint8
+        assert labels.shape == (3,)
+
+    def test_epoch_batches_drop_last(self):
+        rng = np.random.default_rng(0)
+        batches = list(epoch_batches(rng, np.arange(10), 3))
+        assert len(batches) == 3 and all(len(b) == 3 for b in batches)
+        assert num_batches(10, 3) == 3
+        assert num_batches(10, 3, drop_last=False) == 4
+
+    def test_infinite_batches_full_coverage(self):
+        rng = np.random.default_rng(0)
+        it = infinite_batches(rng, np.arange(7), 3)
+        seen = np.concatenate([next(it) for _ in range(10)])
+        assert len(seen) == 30 and set(seen) == set(range(7))
+        # every batch full-size
+        assert all(len(next(it)) == 3 for _ in range(5))

@@ -1,0 +1,99 @@
+"""Tests for meters, distance metrics, TB grid, checkpoint manager."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shotvae_tpu.io.tb import make_image_grid
+from shotvae_tpu.utils import AverageMeter, MetricAccumulator
+from shotvae_tpu.utils.dist_metrics import (
+    pairwise_cosine,
+    pairwise_euclidean_sq,
+    pairwise_gaussian_wasserstein2,
+)
+
+
+class TestAverageMeter:
+    def test_reference_semantics(self):
+        m = AverageMeter()
+        m.update(2.0, n=4)
+        m.update(4.0, n=4)
+        assert m.val == 4.0
+        assert m.sum == 24.0
+        assert m.count == 8
+        assert m.avg == 3.0
+
+
+class TestMetricAccumulator:
+    def test_sum_and_rate_semantics(self):
+        acc = MetricAccumulator()
+        acc.update({"loss_sum": jnp.float32(10.0), "top1_count": jnp.float32(3),
+                    "count": jnp.float32(5)})
+        acc.update({"loss_sum": jnp.float32(20.0), "top1_count": jnp.float32(4),
+                    "count": jnp.float32(5)})
+        avg = acc.averages()
+        assert avg["loss_avg"] == pytest.approx(3.0)
+        assert avg["top1_rate"] == pytest.approx(0.7)
+        assert avg["count"] == 10
+
+
+class TestDistMetrics:
+    def test_euclidean(self):
+        a = jnp.array([[0.0, 0.0], [1.0, 1.0]])
+        d = np.asarray(pairwise_euclidean_sq(a, a))
+        np.testing.assert_allclose(d, [[0, 2], [2, 0]], atol=1e-5)
+
+    def test_cosine(self):
+        a = jnp.array([[1.0, 0.0], [0.0, 2.0]])
+        c = np.asarray(pairwise_cosine(a, a))
+        np.testing.assert_allclose(c, [[1, 0], [0, 1]], atol=1e-5)
+
+    def test_wasserstein_identical_zero(self):
+        mean = jnp.array([[1.0, 2.0]])
+        ls = jnp.array([[0.1, -0.2]])
+        w = np.asarray(pairwise_gaussian_wasserstein2(mean, ls, mean, ls))
+        np.testing.assert_allclose(w, [[0.0]], atol=1e-4)
+
+
+class TestImageGrid:
+    def test_2x2_grid(self):
+        imgs = np.ones((4, 8, 8, 3), np.float32)
+        grid = make_image_grid(imgs, nrow=2)
+        assert grid.shape == (2 * 10 + 2, 2 * 10 + 2, 3)
+        # padding rows are zero
+        assert grid[0].sum() == 0
+        assert grid[2, 2].sum() == 3
+
+
+class TestCheckpoint:
+    def test_round_trip(self, tmp_path):
+        from shotvae_tpu.io import CheckpointManager
+        from shotvae_tpu.train.state import TrainState, sgd_torch
+
+        params = {"w": jnp.arange(4.0)}
+        state = TrainState.create(apply_fn=lambda: None, params=params,
+                                  batch_stats={"m": jnp.zeros(2)},
+                                  tx=sgd_torch(0.1))
+        ckpt = CheckpointManager(str(tmp_path), "Cifar10", 1)
+        ckpt.save(state, epoch=5, config={"lr": 0.1})
+
+        # mutate, then restore
+        state2 = state.replace(params={"w": jnp.zeros(4)})
+        restored, epoch, config = ckpt.restore(state2)
+        np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                                   np.arange(4.0))
+        assert epoch == 5
+        assert config["lr"] == 0.1
+
+    def test_missing_raises_filenotfound(self, tmp_path):
+        from shotvae_tpu.io import CheckpointManager
+        from shotvae_tpu.train.state import TrainState, sgd_torch
+
+        state = TrainState.create(apply_fn=lambda: None,
+                                  params={"w": jnp.zeros(1)},
+                                  batch_stats={}, tx=sgd_torch(0.1))
+        ckpt = CheckpointManager(str(tmp_path), "Cifar10", 2)
+        with pytest.raises(FileNotFoundError):
+            ckpt.restore(state, path=str(tmp_path / "nope"))
