@@ -41,14 +41,13 @@ class CheckpointManager:
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
-            "epoch": epoch,
-            # free-form config stored as one JSON leaf (orbax requires the
-            # restore template's tree structure to match exactly)
-            "config": json.dumps(config or {}, default=str),
         }
         path = self._path(best)
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
+        # free-form metadata in a sidecar file (orbax array tree stays uniform)
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"epoch": epoch, "config": config or {}}, f, default=str)
         return path
 
     def restore(self, state, *, best: bool = False, path: Optional[str] = None):
@@ -66,8 +65,6 @@ class CheckpointManager:
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
-            "epoch": 0,
-            "config": "",
         }
         restored = self._ckptr.restore(path, template)
         new_state = state.replace(
@@ -76,8 +73,11 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
-        config = json.loads(restored["config"]) if restored["config"] else {}
-        return new_state, int(restored["epoch"]), config
+        meta = {"epoch": 0, "config": {}}
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                meta = json.load(f)
+        return new_state, int(meta["epoch"]), meta["config"]
 
 
 def tree_bytes(tree: Any) -> int:

@@ -21,6 +21,8 @@ def alpha_schedule(epoch, max_epoch, alpha_max):
 
     Parity: main_shot_vae.py:518-520. Works on python floats and jnp scalars.
     """
+    if max_epoch <= 0:  # fully ramped (guards tiny debug runs)
+        return alpha_max
     if isinstance(epoch, (int, float)):
         return alpha_max * math.exp(-5.0 * (1.0 - min(1.0, epoch / max_epoch)) ** 2)
     frac = jnp.minimum(1.0, epoch / max_epoch)
