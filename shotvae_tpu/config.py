@@ -67,9 +67,20 @@ class ShotVaeConfig:
     synthetic_data: bool = False  # tests / data-less environments
     yes: bool = False             # skip the interactive run-dir removal prompt
     efficient: bool = False       # densenet remat
+    synthetic_size: int = 2048    # synthetic train-set size
+    valid_per_class: int = 0      # >0 overrides the dataset's valid split size
+    annotated_per_class: int = 0  # >0 overrides the labeled split size
 
     def apply_dataset_overrides(self, *, m2: bool = False) -> "DatasetSpec":
         """Per-dataset hard-coded overrides + dataset facts, in one place."""
+        spec = self._dataset_spec(m2=m2)
+        if self.valid_per_class:
+            spec.valid_per_class = self.valid_per_class
+        if self.annotated_per_class:
+            spec.annotated_per_class = self.annotated_per_class
+        return spec
+
+    def _dataset_spec(self, *, m2: bool) -> "DatasetSpec":
         if self.dataset == "Cifar10":
             self.dmi = 2.3
             if m2:

@@ -54,6 +54,11 @@ def discrete_latent(key, disc_log_alpha, temperature, *, labels=None,
     labeled:          ground-truth one-hot replaces the sample;
     labeled + mixup:  convex combo of the two one-hots with ``mixup_lam``;
     unlabeled:        gumbel-softmax sample.
+
+    A label of ``-1`` marks an unlabeled sample within a mixed batch (used by
+    the fused two-stream step): those rows fall back to the gumbel sample.
+    jnn.one_hot maps out-of-range labels to all-zero rows, so the mask is
+    exactly "any one-hot bit set".
     """
     num_classes = disc_log_alpha.shape[1]
     if labels is None:
@@ -62,7 +67,9 @@ def discrete_latent(key, disc_log_alpha, temperature, *, labels=None,
     if labels_mixup is not None:
         c_b = label_onehot(labels_mixup, num_classes, disc_log_alpha.dtype)
         c = mixup_lam * c + (1.0 - mixup_lam) * c_b
-    return c
+    labeled_mask = jnp.asarray(labels) >= 0
+    gumbel = sample_gumbel_softmax(key, disc_log_alpha, temperature)
+    return jnp.where(labeled_mask[:, None], c, gumbel)
 
 
 def joint_latent(key, norm_mean, norm_log_sigma, disc_log_alpha, temperature, *,

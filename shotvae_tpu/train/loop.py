@@ -95,12 +95,20 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
     tag = "M2-VAE" if m2 else "SHOT-VAE"
     spec = cfg.apply_dataset_overrides(m2=m2)
     train_data, _ = load_dataset(spec.name, cfg.base_path, train=True,
-                                 synthetic_fallback=cfg.synthetic_data)
+                                 synthetic_fallback=cfg.synthetic_data,
+                                 synthetic_size=cfg.synthetic_size)
     test_data, _ = load_dataset(spec.name, cfg.base_path, train=False,
-                                synthetic_fallback=cfg.synthetic_data)
+                                synthetic_fallback=cfg.synthetic_data,
+                                synthetic_size=max(cfg.synthetic_size // 4, 256))
     split = ssl_split(train_data.labels, spec.valid_per_class,
                       spec.annotated_per_class, spec.num_classes,
                       seed=cfg.seed)
+    if len(split.labeled) == 0 or len(split.unlabeled) < cfg.batch_size:
+        raise ValueError(
+            f"SSL split too small for training: labeled={len(split.labeled)}, "
+            f"unlabeled={len(split.unlabeled)}, batch={cfg.batch_size} "
+            f"(dataset {len(train_data.labels)} samples, "
+            f"valid_per_class={spec.valid_per_class})")
 
     dp = _make_dp(cfg)
     train_ds = DeviceDataset(train_data, sharding=dp.replicated())
@@ -267,12 +275,18 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
     labeled split only."""
     spec = cfg.apply_dataset_overrides()
     train_data, _ = load_dataset(spec.name, cfg.base_path, train=True,
-                                 synthetic_fallback=cfg.synthetic_data)
+                                 synthetic_fallback=cfg.synthetic_data,
+                                 synthetic_size=cfg.synthetic_size)
     test_data, _ = load_dataset(spec.name, cfg.base_path, train=False,
-                                synthetic_fallback=cfg.synthetic_data)
+                                synthetic_fallback=cfg.synthetic_data,
+                                synthetic_size=max(cfg.synthetic_size // 4, 256))
     split = ssl_split(train_data.labels, spec.valid_per_class,
                       spec.annotated_per_class, spec.num_classes,
                       seed=cfg.seed)
+    if len(split.labeled) == 0:
+        raise ValueError(
+            f"SSL split has no labeled samples (dataset "
+            f"{len(train_data.labels)}, valid_per_class={spec.valid_per_class})")
     dp = _make_dp(cfg)
     train_ds = DeviceDataset(train_data, sharding=dp.replicated())
     test_ds = DeviceDataset(test_data, sharding=dp.replicated())
@@ -325,6 +339,7 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
     labeled_iter = infinite_batches(rng, split.labeled, batch)
     base_key = jax.random.key(cfg.seed + 1000)
     history = []
+    train_losses = []
     total_epochs = max_epochs if max_epochs is not None else cfg.epochs
     for epoch in range(total_epochs):
         losses = AverageMeter()
@@ -336,6 +351,7 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
             if i % cfg.print_freq == 0:
                 losses.update(float(metrics["cls_loss"]), batch)
         writer.scalar("Train/cls_loss", losses.avg, epoch + 1)
+        train_losses.append(losses.avg)
 
         out = {}
         for name, ev_jit, indices in (("Valid", ev_valid, split.valid),
@@ -358,7 +374,7 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
                         "valid_top1": out["Valid"]["top1_rate"],
                         "test_top1": out["Test"]["top1_rate"]})
     writer.close()
-    return {"history": history, "state": state}
+    return {"history": history, "train_losses": train_losses, "state": state}
 
 
 class ReduceLROnPlateau:

@@ -65,6 +65,7 @@ def _apply_vae(model, params, batch_stats, x, key, *, train=True, **kwargs):
 def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
                              x_sigma: float, epsilon: float,
                              optimal_match: bool,
+                             fused_streams: bool = False,
                              aug: AugmentConfig = AugmentConfig()):
     """The SHOT-VAE hot loop as one jittable function.
 
@@ -72,7 +73,91 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
     where ``sched`` is the dict from
     ``shotvae_tpu.ops.schedules.shot_vae_epoch_schedules`` (traced scalars —
     changing them does not recompile).
+
+    ``fused_streams`` runs the labeled and unlabeled streams through TWO
+    double-batch forwards ([x_l|x_u] and [smoothed_l|mixed_u]) instead of the
+    reference's four single-batch ones — identical loss math (per-stream
+    reductions are computed on slices); train-mode BatchNorm statistics pool
+    over the combined 2B batch instead of per-stream B. Measured on v5e the
+    two variants are within 1% (the step is conv-FLOP-bound), so the default
+    stays False for strict 4-forward parity.
     """
+
+    def fused_loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched):
+        keys = jax.random.split(key, 4)
+        bs = batch_stats
+        batch_l = x_l.shape[0]
+        batch_u = x_u.shape[0]
+        onehot_l = jnn.one_hot(lab_l, num_classes, dtype=jnp.float32)
+        sg = jax.lax.stop_gradient
+        no_label_u = jnp.full((batch_u,), -1, lab_l.dtype)
+
+        # ---- forward A: [labeled(one-hot) | unlabeled(gumbel)] ----
+        x_a = jnp.concatenate([x_l, x_u], axis=0)
+        labels_a = jnp.concatenate([lab_l, no_label_u])
+        (recon_a, mean_a, ls_a, la_a), bs = _apply_vae(
+            model, params, bs, x_a, keys[0], labels=labels_a)
+        recon_l, recon_u = recon_a[:batch_l], recon_a[batch_l:]
+        mean_l, mean_u = mean_a[:batch_l], mean_a[batch_l:]
+        ls_l, ls_u = ls_a[:batch_l], ls_a[batch_l:]
+        la_l, la_u = la_a[:batch_l], la_a[batch_l:]
+
+        def elbo(x, recon, mean, ls, la):
+            r, ckl, dkl = losses.elbo_terms(
+                x, recon, mean, ls, la, num_classes=num_classes, bce=bce,
+                x_sigma=x_sigma)
+            e = (r + sched["kl_beta_c"] * losses.mi_hinge(ckl, sched["cmi"])
+                 + sched["kl_beta_d"] * losses.mi_hinge(dkl, sched["dmi"]))
+            return e, (r, ckl, dkl)
+
+        elbo_l, (r_l, ckl_l, dkl_l) = elbo(x_l, recon_l, mean_l, ls_l, la_l)
+        elbo_u, (r_u, ckl_u, dkl_u) = elbo(x_u, recon_u, mean_u, ls_u, la_u)
+        inference_kl = losses.inference_kl_metric(sg(la_u), lab_u, num_classes)
+
+        # ---- stop-grad interpolation targets (per stream) ----
+        sm = mixup.label_smoothing(keys[1], sg(x_l), sg(mean_l), sg(ls_l),
+                                   sg(la_l), lab_l, epsilon=epsilon)
+        mx = mixup.mixup_vae_data(keys[2], sg(x_u), sg(mean_u), sg(ls_u),
+                                  sg(la_u), optimal_match=optimal_match)
+
+        # ---- forward B: [smoothed-labeled(mixup one-hot) | mixed-unlabeled] ----
+        x_b = jnp.concatenate([sm.image, mx.image], axis=0)
+        labels_b = jnp.concatenate([lab_l, no_label_u])
+        labels_mixup_b = jnp.concatenate([sm.partner_labels, no_label_u])
+        (_, mean_b, ls_b, la_b), bs = _apply_vae(
+            model, params, bs, x_b, keys[3], labels=labels_b, mixup=True,
+            labels_mixup=labels_mixup_b, mixup_lam=sm.lam)
+        mean_sm, mean_mx = mean_b[:batch_l], mean_b[batch_l:]
+        ls_sm, ls_mx = ls_b[:batch_l], ls_b[batch_l:]
+        la_sm, la_mx = la_b[:batch_l], la_b[batch_l:]
+
+        onehot_partner = jnn.one_hot(sm.partner_labels, num_classes,
+                                     dtype=jnp.float32)
+        disc_post_l = (sm.lam * losses.cls_nll(la_sm, onehot_l)
+                       + (1.0 - sm.lam) * losses.cls_nll(la_sm, onehot_partner))
+        cont_post_l = (jnp.sum((mean_sm - sm.z_mean) ** 2)
+                       + jnp.sum((jnp.exp(ls_sm) - sm.z_sigma) ** 2)) / batch_l
+        loss_supervised = (sched["ew"] * (elbo_l + sched["kl_beta_c"]
+                                          * sched["pwm"] * cont_post_l)
+                           + disc_post_l)
+
+        disc_post_u = losses.cls_nll(la_mx, mx.disc_alpha)
+        cont_post_u = (jnp.sum((mean_mx - mx.z_mean) ** 2)
+                       + jnp.sum((jnp.exp(ls_mx) - mx.z_sigma) ** 2)) / batch_u
+        loss_unsupervised = (sched["ew"] * (elbo_u + sched["kl_beta_c"]
+                                            * sched["pwm"] * cont_post_u)
+                             + sched["ucw"] * disc_post_u)
+
+        total = loss_supervised + loss_unsupervised
+        metrics = {
+            "loss": total,
+            "loss_supervised": loss_supervised,
+            "loss_unsupervised": loss_unsupervised,
+            "recon_l": r_l, "cont_kl_l": ckl_l, "disc_kl_l": dkl_l,
+            "recon_u": r_u, "cont_kl_u": ckl_u, "disc_kl_u": dkl_u,
+            "kl_inference": inference_kl,
+        }
+        return total, (bs, metrics)
 
     def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched):
         keys = jax.random.split(key, 6)
@@ -141,11 +226,13 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
         }
         return total, (bs, metrics)
 
+    chosen_loss_fn = fused_loss_fn if fused_streams else loss_fn
+
     def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key):
         key_aug_l, key_aug_u, key_loss = jax.random.split(key, 3)
         x_l = _prepare(key_aug_l, img_l, aug, train=True)
         x_u = _prepare(key_aug_u, img_u, aug, train=True)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        grad_fn = jax.value_and_grad(chosen_loss_fn, has_aux=True)
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, key_loss, x_l, lab_l, x_u, lab_u,
             sched)
