@@ -103,6 +103,45 @@ def label_smoothing(key, image, z_mean, z_log_sigma, disc_log_alpha, labels, *,
                         labels=labels)
 
 
+def _classic_mix(key, image, alpha):
+    key_lam, key_perm = jax.random.split(key)
+    if alpha > 0:
+        lam = jax.random.beta(key_lam, alpha, alpha, dtype=jnp.float32)
+    else:
+        lam = jnp.float32(1.0)
+    index = jax.random.permutation(key_perm, image.shape[0])
+    mixed = lam * image + (1.0 - lam) * jnp.take(image, index, axis=0)
+    return mixed, index, lam
+
+
+def mixup_data(key, image, label, alpha: float = 1.0):
+    """Classic input mixup: returns (mixed_image, label_a, label_b, lam).
+
+    Parity: lib/utils/mixup.py:77-90 — unused by the reference drivers but
+    part of its public surface.
+    """
+    mixed, index, lam = _classic_mix(key, image, alpha)
+    return mixed, label, jnp.take(label, index, axis=0), lam
+
+
+def mixup_raw_labeled_data(key, image, label, label_weight, alpha: float = 1.0):
+    """Input mixup carrying per-item label weights (mixup.py:44-64); one
+    shared permutation for labels and weights."""
+    mixed, index, lam = _classic_mix(key, image, alpha)
+    return (mixed, label, jnp.take(label, index, axis=0), label_weight,
+            jnp.take(label_weight, index, axis=0), lam)
+
+
+def mixup_criterion(criterion, prediction, label_a, label_b, lam):
+    """lam * criterion(label_a, pred) + (1-lam) * criterion(label_b, pred).
+
+    Parity: lib/utils/mixup.py:67-75 (note the reference's argument order —
+    labels first — is preserved).
+    """
+    return lam * criterion(label_a, prediction) + (1.0 - lam) * criterion(
+        label_b, prediction)
+
+
 def _interpolate(image, z_mean, z_log_sigma, disc_log_alpha, index, lam, *, labels):
     lam_img = lam.astype(image.dtype)
     mixed_image = lam_img * image + (1.0 - lam_img) * jnp.take(image, index, axis=0)

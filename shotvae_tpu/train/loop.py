@@ -205,6 +205,21 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                        f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})")
             end = time.time()
         writer.scalar("Train/KL_Inference", kl_inference.avg, epoch + 1)
+        if epoch % cfg.reconstruct_freq == 0:
+            # Train/Raw_Image + Reconstruct_Image grids (":378-383"); uses an
+            # eval-mode forward on the last unlabeled batch (the reference
+            # grabs the train-mode recon of that batch — same images)
+            idx4 = jnp.asarray(idx_u[:4])
+            w4 = jnp.ones((len(idx4),))
+            img4 = jnp.take(train_ds.images, idx4, axis=0)
+            lab4 = jnp.take(train_ds.labels, idx4, axis=0)
+            _, recon4 = raw_eval(state, img4, lab4, w4,
+                                 jax.random.fold_in(epoch_key, 99_999))
+            writer.image_grid("Train/Raw_Image",
+                              np.asarray(img4).astype(np.float32) / 255.0,
+                              epoch + 1)
+            writer.image_grid("Train/Reconstruct_Image", np.asarray(recon4),
+                              epoch + 1)
 
         # ---- valid & test (":409-510") ----
         results = {}
