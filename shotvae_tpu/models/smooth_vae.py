@@ -15,7 +15,7 @@ labeled reparameterisation substitutes the one-hot label for the sampled y
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

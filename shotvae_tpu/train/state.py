@@ -11,7 +11,7 @@ update is one jitted function of the step counter.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import optax
