@@ -513,7 +513,8 @@ def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
                 jax.random.fold_in(jax.random.fold_in(base_key, epoch), i))
             nb += 1
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                if getattr(v, "ndim", 0) == 0:
+                    sums[k] = sums.get(k, 0.0) + float(v)
 
         acc = MetricAccumulator()
         for idx, weight in _padded_eval_batches(

@@ -440,7 +440,7 @@ def make_smooth_elbo_train_step(model, *, alpha: float, cont_capacity,
         (recon, dist, _, _), bs = _smooth_apply(params, bs, x, key, labels)
         r = losses.smooth_recon_loss(x, recon)
         mean, logvar = dist["cont"]
-        kl_cont, _ = losses.kl_normal_loss(mean, logvar)
+        kl_cont, kl_cont_per_dim = losses.kl_normal_loss(mean, logvar)
         c_min, c_max, c_iters, c_gamma = cont_capacity
         cont_cap_loss = losses.capacity_loss(kl_cont, step, c_min, c_max,
                                              c_iters, c_gamma)
@@ -455,7 +455,8 @@ def make_smooth_elbo_train_step(model, *, alpha: float, cont_capacity,
             onehot = jnn.one_hot(labels, disc_dims[0], dtype=jnp.float32)
             cls = alpha * losses.bce_probs_mean(dist["disc"][0], onehot)
             loss = loss + cls
-        return loss, (bs, r, cont_cap_loss, disc_cap_loss, cls)
+        return loss, (bs, r, cont_cap_loss, disc_cap_loss, cls,
+                      kl_cont, kl_cont_per_dim, kl_disc)
 
     def _smooth_apply(params, bs, x, key, labels):
         out, updates = model.apply(
@@ -466,14 +467,20 @@ def make_smooth_elbo_train_step(model, *, alpha: float, cont_capacity,
     def loss_fn(params, batch_stats, key, x_u, x_l, lab_l, step):
         k_u, k_l = jax.random.split(key)
         bs = batch_stats
-        loss_u, (bs, r_u, cc_u, dc_u, _) = one_loss(params, bs, k_u, x_u, None, step)
-        loss_l, (bs, r_l, cc_l, dc_l, cls) = one_loss(params, bs, k_l, x_l, lab_l, step)
+        loss_u, (bs, r_u, cc_u, dc_u, _, klc_u, klc_dim_u, kld_u) = one_loss(
+            params, bs, k_u, x_u, None, step)
+        loss_l, (bs, r_l, cc_l, dc_l, cls, _, _, _) = one_loss(
+            params, bs, k_l, x_l, lab_l, step)
         total = loss_u + loss_l
         metrics = {
             "loss": total,
             "u_recon": r_u, "u_cont_cap": cc_u, "u_disc_cap": dc_u,
             "l_recon": r_l, "l_cont_cap": cc_l, "l_disc_cap": dc_l,
             "classification": cls,
+            # observability parity with the reference's recorded losses dict
+            # (main_smooth_ELBO_mnist.py:303-359: kl_loss_cont[_i], kl_loss_disc)
+            "kl_cont": klc_u, "kl_disc": kld_u,
+            "kl_cont_per_dim": klc_dim_u,
         }
         return total, (bs, metrics)
 

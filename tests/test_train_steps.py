@@ -61,6 +61,25 @@ class TestShotVaeStep:
         for k in ("loss", "recon_l", "cont_kl_u", "kl_inference"):
             assert np.isfinite(float(metrics[k])), k
 
+    def test_fused_streams_matches_4fwd_closely(self, shot_state):
+        """Two double-batch forwards == four single-batch forwards up to RNG
+        draws and BN-stat pooling; metrics must agree to ~1%."""
+        model, state = shot_state
+        img_l, lab_l = _batch(jax.random.key(30))
+        img_u, lab_u = _batch(jax.random.key(31))
+        outs = {}
+        for fused in (False, True):
+            step = steps_lib.make_shot_vae_train_step(
+                model, num_classes=10, bce=True, x_sigma=1.0, epsilon=0.1,
+                optimal_match=False, fused_streams=fused)
+            _, m = jax.jit(step)(state, img_l, lab_l, img_u, lab_u, _sched(),
+                                 jax.random.key(32))
+            outs[fused] = m
+        for k in ("recon_l", "recon_u", "cont_kl_l", "cont_kl_u",
+                  "kl_inference"):
+            a, b = float(outs[False][k]), float(outs[True][k])
+            assert abs(a - b) / max(abs(a), 1e-6) < 0.05, (k, a, b)
+
     def test_optimal_match_variant(self, shot_state):
         model, state = shot_state
         step = steps_lib.make_shot_vae_train_step(
