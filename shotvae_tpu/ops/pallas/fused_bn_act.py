@@ -34,6 +34,29 @@ def _tile_rows(c: int) -> int:
     return max(8, min(1024, tm))
 
 
+def _fold_factor(c: int) -> int:
+    """Lane-packing factor: narrow channel counts waste the 128-lane VPU
+    (C=32 uses 1/4 of every vector op). Fold k row-groups into the lane axis
+    so the kernels see C' = k*C >= 128; per-channel stats are recovered by
+    summing the k lane groups on the host side (exact)."""
+    if c >= 128:
+        return 1
+    return max(1, 128 // c)
+
+
+def _fold(x, k):
+    """(M, C) -> (M/k, k*C), padding M to a multiple of k with zero rows."""
+    m, c = x.shape
+    pad = (-m) % k
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x.reshape((m + pad) // k, k * c)
+
+
+def _unfold(x_folded, m, c, k):
+    return x_folded.reshape(-1, c)[:m]
+
+
 def _pad_rows(x, tm):
     m = x.shape[0]
     pad = (-m) % tm
@@ -138,24 +161,28 @@ def bn_leaky_train(x, gamma, beta, eps: float = 1e-5,
 
 def _fwd_impl(x, gamma, beta, eps, slope):
     m, c = x.shape
-    tm = _tile_rows(c)
-    x_padded, m_real = _pad_rows(x, tm)
-    sums = _stats(x_padded, tm)
-    mean = sums[0] / m_real
-    var = jnp.maximum(sums[1] / m_real - mean * mean, 0.0)
+    k = _fold_factor(c)
+    cf = k * c
+    xf = _fold(x, k)
+    tm = _tile_rows(cf)
+    x_padded, _ = _pad_rows(xf, tm)
+    sums_f = _stats(x_padded, tm)                     # (2, k*c)
+    sums = sums_f.reshape(2, k, c).sum(axis=1)        # exact group combine
+    mean = sums[0] / m                                # zero padding adds 0
+    var = jnp.maximum(sums[1] / m - mean * mean, 0.0)
     invstd = jax.lax.rsqrt(var + eps)
+    tile = lambda v: jnp.tile(v.astype(jnp.float32), k)[None]  # (1, k*c)
     m_pad = x_padded.shape[0]
     y_padded, xhat_padded = pl.pallas_call(
         partial(_apply_kernel, slope),
         grid=_row_tiles(m_pad, tm),
-        in_specs=[_tile_spec(c, tm), _full_spec(1, c), _full_spec(1, c),
-                  _full_spec(1, c), _full_spec(1, c)],
-        out_specs=(_tile_spec(c, tm), _tile_spec(c, tm)),
-        out_shape=(jax.ShapeDtypeStruct((m_pad, c), x.dtype),
-                   jax.ShapeDtypeStruct((m_pad, c), jnp.float32)),
-    )(x_padded, mean[None], invstd[None], gamma[None].astype(jnp.float32),
-      beta[None].astype(jnp.float32))
-    return y_padded[:m], mean, var, xhat_padded, invstd
+        in_specs=[_tile_spec(cf, tm), _full_spec(1, cf), _full_spec(1, cf),
+                  _full_spec(1, cf), _full_spec(1, cf)],
+        out_specs=(_tile_spec(cf, tm), _tile_spec(cf, tm)),
+        out_shape=(jax.ShapeDtypeStruct((m_pad, cf), x.dtype),
+                   jax.ShapeDtypeStruct((m_pad, cf), jnp.float32)),
+    )(x_padded, tile(mean), tile(invstd), tile(gamma), tile(beta))
+    return _unfold(y_padded, m, c, k), mean, var, xhat_padded, invstd
 
 
 def _bn_fwd(x, gamma, beta, eps, slope):
@@ -169,30 +196,34 @@ def _bn_bwd(eps, slope, residuals, cotangents):
     g, _g_mean, _g_var = cotangents  # mean/var outputs feed running stats
     xhat_padded, invstd, gamma, beta = residuals
     x_dtype = g.dtype
-    m = g.shape[0]
-    c = xhat_padded.shape[1]
-    tm = _tile_rows(c)
-    g_padded, _ = _pad_rows(g.astype(jnp.float32), tm)
+    m, c = g.shape
+    k = _fold_factor(c)
+    cf = k * c
+    tm = _tile_rows(cf)
+    g_padded, _ = _pad_rows(_fold(g.astype(jnp.float32), k), tm)
     m_pad = g_padded.shape[0]
-    sums = pl.pallas_call(
+    tile = lambda v: jnp.tile(v.astype(jnp.float32), k)[None]
+    sums_f = pl.pallas_call(
         partial(_bwd_reduce_kernel, slope),
         grid=_row_tiles(m_pad, tm),
-        in_specs=[_tile_spec(c, tm), _tile_spec(c, tm), _full_spec(1, c),
-                  _full_spec(1, c)],
-        out_specs=_full_spec(2, c),
-        out_shape=jax.ShapeDtypeStruct((2, c), jnp.float32),
-    )(g_padded, xhat_padded, gamma[None], beta[None])
+        in_specs=[_tile_spec(cf, tm), _tile_spec(cf, tm), _full_spec(1, cf),
+                  _full_spec(1, cf)],
+        out_specs=_full_spec(2, cf),
+        out_shape=jax.ShapeDtypeStruct((2, cf), jnp.float32),
+    )(g_padded, xhat_padded, tile(gamma), tile(beta))
+    sums = sums_f.reshape(2, k, c).sum(axis=1)
     dgamma = sums[1]
     dbeta = sums[0]
     dx_padded = pl.pallas_call(
         partial(_bwd_apply_kernel, slope, 1.0 / m),
         grid=_row_tiles(m_pad, tm),
-        in_specs=[_tile_spec(c, tm), _tile_spec(c, tm), _full_spec(1, c),
-                  _full_spec(1, c), _full_spec(1, c), _full_spec(2, c)],
-        out_specs=_tile_spec(c, tm),
-        out_shape=jax.ShapeDtypeStruct((m_pad, c), x_dtype),
-    )(g_padded, xhat_padded, gamma[None], beta[None], invstd[None], sums)
-    return dx_padded[:m], dgamma, dbeta
+        in_specs=[_tile_spec(cf, tm), _tile_spec(cf, tm), _full_spec(1, cf),
+                  _full_spec(1, cf), _full_spec(1, cf), _full_spec(2, cf)],
+        out_specs=_tile_spec(cf, tm),
+        out_shape=jax.ShapeDtypeStruct((m_pad, cf), x_dtype),
+    )(g_padded, xhat_padded, tile(gamma), tile(beta), tile(invstd),
+      jnp.tile(sums, (1, k)))
+    return _unfold(dx_padded, m, c, k), dgamma, dbeta
 
 
 bn_leaky_train.defvjp(_bn_fwd, _bn_bwd)
@@ -222,14 +253,16 @@ def bn_act_inference(x, gamma, beta, running_mean, running_var,
     scale = (gamma * invstd).astype(jnp.float32)
     shift = (beta - running_mean * gamma * invstd).astype(jnp.float32)
     m, c = x.shape
-    tm = _tile_rows(c)
-    x_padded, _ = _pad_rows(x, tm)
+    k = _fold_factor(c)
+    cf = k * c
+    tm = _tile_rows(cf)
+    x_padded, _ = _pad_rows(_fold(x, k), tm)
     m_pad = x_padded.shape[0]
     y = pl.pallas_call(
         partial(_inference_kernel, slope),
         grid=_row_tiles(m_pad, tm),
-        in_specs=[_tile_spec(c, tm), _full_spec(1, c), _full_spec(1, c)],
-        out_specs=_tile_spec(c, tm),
-        out_shape=jax.ShapeDtypeStruct((m_pad, c), x.dtype),
-    )(x_padded, scale[None], shift[None])
-    return y[:m]
+        in_specs=[_tile_spec(cf, tm), _full_spec(1, cf), _full_spec(1, cf)],
+        out_specs=_tile_spec(cf, tm),
+        out_shape=jax.ShapeDtypeStruct((m_pad, cf), x.dtype),
+    )(x_padded, jnp.tile(scale, k)[None], jnp.tile(shift, k)[None])
+    return _unfold(y, m, c, k)
