@@ -85,10 +85,57 @@ def _translate_classifier(key: str) -> str:
     raise KeyError(f"unmapped classifier key: {key}")
 
 
+def _translate_preact(key: str) -> str:
+    key = re.sub(r"^encoder\.", "", key)
+    if key.startswith("pre_process.conv0"):
+        return "pre_process/conv0"
+    m = re.match(r"block(\d+)\.preact_block\.unit(\d+)\.(.*)", key)
+    if m:
+        k, i, rest = m.group(1), m.group(2), m.group(3)
+        base = f"block{k}_unit{i}"
+        for norm in ("norm1", "norm2", "norm3"):
+            if rest.startswith(f"f_block.{norm}"):
+                return f"{base}/{norm}/bn"
+        for conv in ("conv1", "conv2", "conv3"):
+            if rest.startswith(f"f_block.{conv}"):
+                return f"{base}/{conv}"
+        if rest.startswith("i_block.norm"):
+            return f"{base}/shortcut_norm/bn"
+        if rest.startswith("i_block.conv"):
+            return f"{base}/shortcut_conv"
+    if key.startswith("transition.norm"):
+        return "transition_norm/bn"
+    raise KeyError(f"unmapped preactresnet key: {key}")
+
+
+def _translate_densenet(key: str, num_blocks: int = 0) -> str:
+    key = re.sub(r"^encoder\.", "", key)
+    if key.startswith("pre_process.conv0"):
+        return "pre_process/conv0"
+    m = re.match(r"denseblock(\d+)\.denselayer(\d+)\.(norm1|conv1|norm2|conv2)",
+                 key)
+    if m:
+        k, i, part = m.group(1), m.group(2), m.group(3)
+        suffix = "/bn" if part.startswith("norm") else ""
+        return f"denseblock{k}/denselayer{i}/{part}{suffix}"
+    m = re.match(r"transition(\d+)\.(norm|conv)", key)
+    if m:
+        k, part = m.group(1), m.group(2)
+        # the LAST reference transition holds only the final norm
+        if part == "norm" and f"transition{k}.conv" not in _DENSENET_KEYS:
+            return "final_norm/bn"
+        return f"transition{k}_{part}" + ("/bn" if part == "norm" else "")
+    raise KeyError(f"unmapped densenet key: {key}")
+
+
+_DENSENET_KEYS: set = set()  # populated per import for last-transition detection
+
 _TRANSLATORS = {
     "wideresnet": _translate_trunk,
     "vae": _translate_vae,
     "classifier": _translate_classifier,
+    "preactresnet": _translate_preact,
+    "densenet": _translate_densenet,
 }
 
 
@@ -125,6 +172,12 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
     wrappers are stripped. Values may be torch tensors or numpy arrays.
     """
     translate = _TRANSLATORS[kind]
+    if kind == "densenet":
+        # stems (e.g. 'transition1.conv') for last-transition detection
+        _DENSENET_KEYS.clear()
+        _DENSENET_KEYS.update(
+            re.sub(r"^encoder\.", "", k.replace(".module", "")).rsplit(".", 1)[0]
+            for k in state_dict)
     params: dict = {}
     batch_stats: dict = {}
     for full_key, value in state_dict.items():
@@ -144,6 +197,80 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
             node = node.setdefault(part, {})
         node[our_leaf] = v
     return params, batch_stats
+
+
+def _chw_to_hwc_perm(c: int, h: int, w: int) -> np.ndarray:
+    """perm[i_hwc] = i_chw for flattening-order conversion at reshape seams."""
+    idx = np.arange(c * h * w).reshape(c, h, w)       # torch (C,H,W) order
+    return idx.transpose(1, 2, 0).reshape(-1)          # -> (H,W,C) order
+
+
+def import_smooth_vae_state_dict(state_dict, *, encoder_channels=(32, 64, 64),
+                                 reshape_channels: int = 64,
+                                 spatial: int = 4) -> Tuple[dict, dict]:
+    """Convert a smooth-VAE (mnist_VAE / svhn_VAE) state_dict.
+
+    The two Dense layers flanking the torch (C,H,W) reshapes need their
+    input/output dimensions permuted to our (H,W,C) flattening order.
+    """
+    perm_enc = _chw_to_hwc_perm(encoder_channels[-1], spatial, spatial)
+    perm_dec = _chw_to_hwc_perm(reshape_channels, spatial, spatial)
+    params: dict = {}
+
+    def put(path, leaf, v):
+        node = params
+        for part in path.split("/"):
+            node = node.setdefault(part, {})
+        node[leaf] = np.ascontiguousarray(v)
+
+    for full_key, value in state_dict.items():
+        v = np.asarray(getattr(value, "detach", lambda: value)().cpu()
+                       if hasattr(value, "detach") else value, np.float32)
+        key = full_key.replace(".module", "")
+        stem, leaf = key.rsplit(".", 1)
+        m = re.match(r"img_to_features\.(\d+)$", stem)
+        if m:
+            put(f"enc_conv{int(m.group(1)) // 2}",
+                "kernel" if leaf == "weight" else "bias",
+                v.transpose(2, 3, 1, 0) if leaf == "weight" else v)
+            continue
+        if stem == "features_to_hidden.0":
+            if leaf == "weight":
+                put("features_to_hidden", "kernel", v.T[perm_enc, :])
+            else:
+                put("features_to_hidden", "bias", v)
+            continue
+        if stem in ("fc_mean", "fc_log_var"):
+            put(stem, "kernel" if leaf == "weight" else "bias",
+                v.T if leaf == "weight" else v)
+            continue
+        m = re.match(r"fc_alphas\.(\d+)$", stem)
+        if m:
+            put(f"fc_alpha{m.group(1)}",
+                "kernel" if leaf == "weight" else "bias",
+                v.T if leaf == "weight" else v)
+            continue
+        if stem == "latent_to_features.0":
+            put("latent_to_hidden", "kernel" if leaf == "weight" else "bias",
+                v.T if leaf == "weight" else v)
+            continue
+        if stem == "latent_to_features.2":
+            if leaf == "weight":
+                put("hidden_to_features", "kernel", v.T[:, perm_dec])
+            else:
+                put("hidden_to_features", "bias", v[perm_dec])
+            continue
+        m = re.match(r"features_to_img\.(\d+)$", stem)
+        if m:
+            name = f"dec_convt{int(m.group(1)) // 2}"
+            if leaf == "weight":
+                put(name, "kernel",
+                    v.transpose(2, 3, 0, 1)[::-1, ::-1])
+            else:
+                put(name, "bias", v)
+            continue
+        raise KeyError(f"unmapped smooth-vae key: {key}")
+    return params, {}
 
 
 def merge_imported(template_params, template_stats, params, batch_stats):
