@@ -145,7 +145,22 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         help="densenet gradient rematerialisation")
     parser.add_argument("--max-epochs", default=None, type=int,
                         help="stop after N epochs (debug/smoke)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() so the data "
+                             "mesh spans all hosts (DCN); every process must "
+                             "run the same command")
     return parser
+
+
+def maybe_init_multihost(args):
+    """Multi-host bring-up: the mesh construction (parallel/mesh.py) is
+    host-count-agnostic; after jax.distributed.initialize, jax.devices()
+    spans every process and the same data-parallel step runs unchanged
+    (SURVEY.md §5.8: keep mesh construction host-count-agnostic)."""
+    if getattr(args, "multihost", False):
+        import jax
+
+        jax.distributed.initialize()
 
 
 def config_from_args(args) -> ShotVaeConfig:

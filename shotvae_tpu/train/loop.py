@@ -81,6 +81,10 @@ def _padded_eval_batches(indices: np.ndarray, batch_size: int):
 
 
 def _make_dp(cfg) -> DataParallel:
+    # reference quirk parity: --dp is store_false, i.e. passing it DISABLES
+    # data parallelism (main_shot_vae.py:47) -> restrict the mesh to 1 device
+    if not getattr(cfg, "dp", True):
+        return DataParallel(make_mesh(1))
     if getattr(cfg, "num_devices", None):
         return DataParallel(make_mesh(cfg.num_devices))
     return DataParallel()
