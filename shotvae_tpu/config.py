@@ -68,6 +68,7 @@ class ShotVaeConfig:
     yes: bool = False             # skip the interactive run-dir removal prompt
     efficient: bool = False       # densenet remat
     synthetic_size: int = 2048    # synthetic train-set size
+    ckpt_every: int = 1           # checkpoint cadence in epochs (1 = parity)
     valid_per_class: int = 0      # >0 overrides the dataset's valid split size
     annotated_per_class: int = 0  # >0 overrides the labeled split size
 

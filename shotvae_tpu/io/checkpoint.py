@@ -4,8 +4,15 @@ The reference saves ``{epoch, args, state_dict, optimizer}`` every epoch to
 ``<bp>/<dataset>-SHOT-VAE/parameter/train_time_<t>/checkpoint.pth.tar`` and a
 ``best.pth.tar`` after the final LR milestone
 (/root/reference/main_shot_vae.py:237-251,386-406). Here the same layout
-holds orbax directories ``checkpoint/`` and ``best/`` containing
-{step, epoch, params, batch_stats, opt_state, config}.
+holds orbax checkpoints {step, params, batch_stats, opt_state} plus a
+sidecar ``.meta.json`` {epoch, config}.
+
+Crash-safety: each logical checkpoint alternates between two slot
+directories (``checkpoint.slot0`` / ``checkpoint.slot1``) and a pointer file
+records the last COMPLETED slot after orbax's atomic commit — overwriting a
+live checkpoint in place (what the reference's torch.save does) can corrupt
+it on a crash mid-write. ``restore`` follows the pointer; passing an explicit
+path also accepts a raw orbax directory.
 
 Resume restores epoch, model and optimizer state, and the stored config dict
 (the reference restores argparse args wholesale, main_shot_vae.py:202-213).
@@ -15,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Optional
 
 import jax
@@ -28,27 +36,52 @@ class CheckpointManager:
             base_path, f"{dataset}-{tag}", "parameter", f"train_time_{train_time}")
         os.makedirs(self.folder, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._next_slot = {"checkpoint": 0, "best": 0}
 
-    def _path(self, best: bool) -> str:
-        return os.path.abspath(
-            os.path.join(self.folder, "best" if best else "checkpoint"))
+    def _name(self, best: bool) -> str:
+        return "best" if best else "checkpoint"
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self.folder, name + ".current")
 
     def save(self, state, *, epoch: int, config: Optional[dict] = None,
              best: bool = False):
-        """Save {params, batch_stats, opt_state, step, epoch, config}."""
+        """Save {params, batch_stats, opt_state, step} (+epoch/config meta)."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        path = self._path(best)
+        name = self._name(best)
+        slot = self._next_slot[name]
+        self._next_slot[name] = 1 - slot
+        path = os.path.abspath(os.path.join(self.folder,
+                                            f"{name}.slot{slot}"))
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
         self._ckptr.save(path, payload, force=True)
-        self._ckptr.wait_until_finished()
-        # free-form metadata in a sidecar file (orbax array tree stays uniform)
+        self._ckptr.wait_until_finished()  # atomic commit done
         with open(path + ".meta.json", "w") as f:
             json.dump({"epoch": epoch, "config": config or {}}, f, default=str)
+        with open(self._pointer(name), "w") as f:
+            f.write(path)
         return path
+
+    def _resolve(self, best: bool, path: Optional[str]) -> str:
+        if path:
+            p = os.path.abspath(path)
+            # accept a pointer-managed name, a raw orbax dir, or a folder
+            if os.path.isfile(os.path.join(p + ".current")):
+                return open(p + ".current").read().strip()
+            pointer = os.path.join(p, self._name(best) + ".current")
+            if os.path.isdir(p) and os.path.isfile(pointer):
+                return open(pointer).read().strip()
+            return p
+        pointer = self._pointer(self._name(best))
+        if os.path.isfile(pointer):
+            return open(pointer).read().strip()
+        return os.path.abspath(os.path.join(self.folder, self._name(best)))
 
     def restore(self, state, *, best: bool = False, path: Optional[str] = None):
         """Restore into ``state``; returns (state, epoch, config).
@@ -56,7 +89,7 @@ class CheckpointManager:
         Raises FileNotFoundError on a missing path, matching the reference's
         resume guard (main_shot_vae.py:213).
         """
-        path = os.path.abspath(path) if path else self._path(best)
+        path = self._resolve(best, path)
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"Checkpoint Resume File {path} Not Found")

@@ -270,7 +270,8 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         history.append({"epoch": epoch, "valid_top1": valid_acc,
                         "test_top1": test_acc})
 
-        ckpt.save(state, epoch=epoch + 1, config=cfg.asdict())
+        if (epoch + 1) % max(cfg.ckpt_every, 1) == 0 or epoch == total_epochs - 1:
+            ckpt.save(state, epoch=epoch + 1, config=cfg.asdict())
         # deviation (documented): best = MAX validation accuracy
         if valid_acc > best_valid_acc:
             best_valid_acc = valid_acc

@@ -40,9 +40,10 @@ class TestShotVaeLoop:
         assert len(out["history"]) == 1
         h = out["history"][0]
         assert 0.0 <= h["valid_top1"] <= 1.0
-        assert os.path.isdir(os.path.join(
-            tmp_base, "Cifar10-SHOT-VAE", "parameter", "train_time_1",
-            "checkpoint"))
+        pointer = os.path.join(tmp_base, "Cifar10-SHOT-VAE", "parameter",
+                               "train_time_1", "checkpoint.current")
+        assert os.path.isfile(pointer)
+        assert os.path.isdir(open(pointer).read().strip())
         # tensorboard run dir with the reference layout
         assert os.path.isdir(os.path.join(
             tmp_base, "Cifar10-SHOT-VAE", "runs", "train_time:1"))
