@@ -145,6 +145,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         help="densenet gradient rematerialisation")
     parser.add_argument("--max-epochs", default=None, type=int,
                         help="stop after N epochs (debug/smoke)")
+    parser.add_argument("--ckpt-every", default=1, type=int,
+                        help="checkpoint cadence in epochs (default 1, "
+                             "reference parity)")
+    parser.add_argument("--profile-dir", default="", type=str,
+                        help="write a jax.profiler trace of one epoch here")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() so the data "
                              "mesh spans all hosts (DCN); every process must "
@@ -180,5 +185,6 @@ def config_from_args(args) -> ShotVaeConfig:
         wd=args.wd, epsilon=args.epsilon, om=args.om, gpu=args.gpu,
         seed=args.seed, bf16=not args.no_bf16, num_devices=args.num_devices,
         synthetic_data=args.synthetic_data, yes=args.yes,
-        efficient=args.efficient)
+        efficient=args.efficient, ckpt_every=args.ckpt_every,
+        profile_dir=args.profile_dir)
     return cfg

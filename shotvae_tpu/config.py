@@ -69,6 +69,7 @@ class ShotVaeConfig:
     efficient: bool = False       # densenet remat
     synthetic_size: int = 2048    # synthetic train-set size
     ckpt_every: int = 1           # checkpoint cadence in epochs (1 = parity)
+    profile_dir: str = ""         # jax.profiler trace of epoch start+1
     valid_per_class: int = 0      # >0 overrides the dataset's valid split size
     annotated_per_class: int = 0  # >0 overrides the labeled split size
 

@@ -187,8 +187,13 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
 
     best_valid_acc = -1.0
     history = []
+    profile_dir = getattr(cfg, "profile_dir", "")
     total_epochs = max_epochs if max_epochs is not None else cfg.epochs
     for epoch in range(start_epoch, total_epochs):
+        if profile_dir and epoch == start_epoch + 1:
+            # trace the second epoch (first is compile-dominated);
+            # SURVEY.md §5.1: optional jax.profiler hooks
+            jax.profiler.start_trace(profile_dir)
         epoch_key = jax.random.fold_in(base_key, epoch)
         sched = _sched_to_device(shot_vae_epoch_schedules(epoch, cfg))
         batch_time = AverageMeter()
@@ -208,6 +213,8 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                 log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
                        f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})")
             end = time.time()
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
         writer.scalar("Train/KL_Inference", kl_inference.avg, epoch + 1)
         if epoch % cfg.reconstruct_freq == 0:
             # Train/Raw_Image + Reconstruct_Image grids (":378-383"); uses an
