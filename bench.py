@@ -21,6 +21,7 @@ north-star (BASELINE.json) is vs_baseline >= 5.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -29,9 +30,12 @@ import numpy as np
 
 REF_ESTIMATE_IMG_PER_SEC = 900.0
 
-BATCH = 768
+# Env overrides for ad-hoc sweeps (defaults = the headline contract config):
+#   BENCH_NET=wideresnet-28-10 BENCH_BATCH=512 python bench.py
+NET_NAME = os.environ.get("BENCH_NET", "wideresnet-28-2")
+BATCH = int(os.environ.get("BENCH_BATCH", "768"))
 WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 
 
 def main():
@@ -49,7 +53,7 @@ def main():
                              sharding=dp.replicated())
 
     model = VariationalAutoEncoder(
-        encoder_name="wideresnet-28-2", num_input_channels=3,
+        encoder_name=NET_NAME, num_input_channels=3,
         continuous_latent_dim=128, disc_latent_dim=10, dtype=jnp.bfloat16)
     lr_sched = multistep_lr(0.1, [400, 500, 550], 65)
     tx = sgd_torch(lr_sched)
@@ -93,7 +97,7 @@ def main():
     img_per_sec = MEASURE_STEPS * BATCH / dt
     per_chip = img_per_sec / n_chips
     print(json.dumps({
-        "metric": "shotvae_wrn28x2_cifar10_unlabeled_images_per_sec_per_chip",
+        "metric": f"shotvae_{NET_NAME.replace('-', '')}_cifar10_unlabeled_images_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / REF_ESTIMATE_IMG_PER_SEC, 2),
