@@ -139,6 +139,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         help="restrict the data mesh to N devices")
     parser.add_argument("--synthetic-data", action="store_true",
                         help="use synthetic data when datasets are missing")
+    parser.add_argument("--synthetic-size", default=2048, type=int,
+                        help="synthetic train-set size")
+    parser.add_argument("--valid-per-class", default=0, type=int,
+                        help=">0 overrides the dataset's valid split size")
+    parser.add_argument("--annotated-per-class", default=0, type=int,
+                        help=">0 overrides the labeled split size")
     parser.add_argument("--yes", action="store_true",
                         help="skip the interactive run-dir removal prompt")
     parser.add_argument("--efficient", action="store_true",
@@ -186,5 +192,7 @@ def config_from_args(args) -> ShotVaeConfig:
         seed=args.seed, bf16=not args.no_bf16, num_devices=args.num_devices,
         synthetic_data=args.synthetic_data, yes=args.yes,
         efficient=args.efficient, ckpt_every=args.ckpt_every,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir, synthetic_size=args.synthetic_size,
+        valid_per_class=args.valid_per_class,
+        annotated_per_class=args.annotated_per_class)
     return cfg
