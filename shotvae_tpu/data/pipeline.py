@@ -117,10 +117,17 @@ def infinite_batches(rng: np.random.Generator, indices: np.ndarray,
             yield pool[pos:pos + batch_size]
             pos += batch_size
         else:
-            head = pool[pos:]
-            pool = rng.permutation(indices)
-            pos = batch_size - len(head)
-            yield np.concatenate([head, pool[:pos]])
+            # wrap around with reshuffles; loops when the pool is smaller
+            # than the batch (tiny labeled sets, e.g. --annotated-ratio 0.01)
+            parts = [pool[pos:]]
+            need = batch_size - len(parts[0])
+            while need > 0:
+                pool = rng.permutation(indices)
+                take = min(need, len(pool))
+                parts.append(pool[:take])
+                need -= take
+            pos = 0 if len(parts[-1]) == len(pool) else len(parts[-1])
+            yield np.concatenate(parts)
 
 
 def num_batches(n: int, batch_size: int, *, drop_last: bool = True) -> int:

@@ -127,3 +127,23 @@ class TestPipeline:
         assert len(seen) == 30 and set(seen) == set(range(7))
         # every batch full-size
         assert all(len(next(it)) == 3 for _ in range(5))
+
+    def test_infinite_batches_pool_smaller_than_batch(self):
+        # tiny labeled pools (e.g. --annotated-ratio 0.01) must still yield
+        # full-size batches by wrapping multiple reshuffles
+        rng = np.random.default_rng(1)
+        it = infinite_batches(rng, np.arange(5), 12)
+        for _ in range(8):
+            b = next(it)
+            assert len(b) == 12
+            assert set(b) <= set(range(5))
+        # all elements keep appearing
+        seen = np.concatenate([next(it) for _ in range(5)])
+        assert set(seen) == set(range(5))
+
+    def test_infinite_batches_pool_equals_batch(self):
+        rng = np.random.default_rng(2)
+        it = infinite_batches(rng, np.arange(4), 4)
+        for _ in range(6):
+            b = next(it)
+            assert sorted(b) == [0, 1, 2, 3]
