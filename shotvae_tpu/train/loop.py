@@ -115,6 +115,10 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
             f"valid_per_class={spec.valid_per_class})")
 
     dp = _make_dp(cfg)
+    if cfg.batch_size % dp.num_devices:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide the data mesh size "
+            f"{dp.num_devices} (use --num-devices or adjust -b)")
     train_ds = DeviceDataset(train_data, sharding=dp.replicated())
     test_ds = DeviceDataset(test_data, sharding=dp.replicated())
 

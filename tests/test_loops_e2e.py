@@ -102,6 +102,23 @@ class TestSmoothElboLoop:
         assert "Average loss" in text and "u_recon_loss" in text
 
 
+class TestSmoothElboSvhnLoop:
+    def test_svhn_variant_with_plateau(self, tmp_base):
+        from shotvae_tpu.config import svhn_smooth_defaults
+
+        cfg = svhn_smooth_defaults()
+        cfg.base_path = tmp_base
+        cfg.synthetic_data = True
+        cfg.unlabeled_batch_size = 64
+        cfg.labeled_batch_size = 32
+        cfg.test_batch_size = 128
+        cfg.size_labeled_data = 100
+        out = run_smooth_elbo(cfg, "svhn", max_epochs=1,
+                              log_fn=lambda *a: None)
+        assert len(out["history"]) == 1
+        assert np.isfinite(out["history"][0]["mean_loss"])
+
+
 class TestReduceLROnPlateau:
     def test_decays_after_patience(self):
         s = ReduceLROnPlateau(factor=0.1, patience=2)
