@@ -15,9 +15,9 @@ Leaf conventions:
   BatchNorm   weight/bias         -> scale/bias (params)
               running_mean/var    -> mean/var   (batch_stats)
 
-Currently mapped: WideResNet trunk, the full SHOT/M2 VAE on a WRN encoder,
-and the classifier. PreActResNet / DenseNet imports are not yet wired
-(their from-scratch training is the supported path).
+Currently mapped: every encoder family (WideResNet, PreActResNet,
+DenseNet) plus the full SHOT/M2 VAE and the classifier — golden-tested
+against the actual reference models in tests/test_torch_compat*.py.
 """
 
 from __future__ import annotations
