@@ -56,10 +56,17 @@ def multistep_lr(base_lr: float, milestones: Sequence[int], steps_per_epoch: int
     at the epoch milestones (main_shot_vae.py:198-199). Expressed here as an
     optax schedule keyed by the global step so the whole thing lives inside
     the jitted update.
+
+    Milestone semantics: the reference calls ``scheduler.step(epoch)`` at the
+    END of epoch ``epoch`` (main_shot_vae.py:252), so the decayed LR is first
+    used at the start of epoch ``m + 1`` — epoch ``m`` itself still trains at
+    the undecayed LR. Hence the boundary sits at ``(m + 1) * steps_per_epoch``
+    (this also keeps the ewm×5 bump, applied at the end of epoch
+    ``adjust_lr[0]``, landing together with the first decay).
     """
     boundaries = {1 * steps_per_epoch: 1.0 / warmup_factor}
     for m in milestones:
-        key = m * steps_per_epoch
+        key = (m + 1) * steps_per_epoch
         boundaries[key] = boundaries.get(key, 1.0) * gamma
     return optax.piecewise_constant_schedule(
         init_value=base_lr * warmup_factor, boundaries_and_scales=boundaries

@@ -110,9 +110,47 @@ class TestMultiStepInsideChain:
         state = tx.init(p)
         g = jnp.ones(1)
         deltas = []
-        for _ in range(4):
+        for _ in range(5):
             updates, state = tx.update(g, state, p)
             p = p + updates
             deltas.append(float(-updates[0]))
-        # step0 warmup 0.5, step1 full 1.0, step>=2 decayed 0.1
-        np.testing.assert_allclose(deltas, [0.5, 1.0, 0.1, 0.1], rtol=1e-6)
+        # reference scheduler.step(epoch) at epoch END: milestone epoch 2
+        # still trains undecayed; decay first applies at epoch 3
+        # (main_shot_vae.py:252) -> epoch0 warmup 0.5, epochs 1-2 full 1.0,
+        # epoch>=3 decayed 0.1
+        np.testing.assert_allclose(deltas, [0.5, 1.0, 1.0, 0.1, 0.1],
+                                   rtol=1e-6)
+
+    def test_matches_torch_multisteplr_step_epoch_semantics(self):
+        """Golden vs the reference's actual scheduler usage: MultiStepLR with
+        scheduler.step(epoch) called at the END of each epoch
+        (main_shot_vae.py:252), plus the manual epoch-0 lr*0.2 warmup
+        (main_shot_vae.py:223-225,253-254)."""
+        from shotvae_tpu.ops.schedules import multistep_lr
+
+        base_lr, milestones, spe, epochs = 0.1, [3, 5], 4, 8
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base_lr)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # step(epoch) is deprecated API
+            lr_sched = torch.optim.lr_scheduler.MultiStepLR(
+                opt, milestones=milestones, gamma=0.1)
+            torch_lr_by_epoch = []
+            for epoch in range(epochs):
+                if epoch == 0:
+                    for g in opt.param_groups:
+                        g["lr"] *= 0.2
+                torch_lr_by_epoch.append(opt.param_groups[0]["lr"])
+                if epoch == 0:
+                    for g in opt.param_groups:
+                        g["lr"] *= 5.0
+                lr_sched.step(epoch)
+
+        ours = multistep_lr(base_lr, milestones, spe)
+        for epoch in range(epochs):
+            for s in range(spe):
+                np.testing.assert_allclose(
+                    float(ours(epoch * spe + s)), torch_lr_by_epoch[epoch],
+                    rtol=1e-6,
+                    err_msg=f"epoch {epoch} step {s}")

@@ -41,13 +41,15 @@ class TestMultiStepLR:
         # epoch 0: warmup 0.2x
         assert np.isclose(float(sched(0)), 0.1 * 0.2)
         assert np.isclose(float(sched(spe - 1)), 0.1 * 0.2)
-        # epoch 1..399: full lr
+        # epoch 1..400: full lr — milestone epoch m still trains undecayed
+        # (reference calls scheduler.step(epoch) at epoch END,
+        # main_shot_vae.py:252; decay first applies at epoch m+1)
         assert np.isclose(float(sched(spe)), 0.1)
-        assert np.isclose(float(sched(399 * spe)), 0.1)
-        # after milestones: x0.1 each
-        assert np.isclose(float(sched(400 * spe)), 0.01)
-        assert np.isclose(float(sched(500 * spe)), 0.001)
-        assert np.isclose(float(sched(550 * spe)), 1e-4)
+        assert np.isclose(float(sched(400 * spe)), 0.1)
+        # from epoch m+1 on: x0.1 each
+        assert np.isclose(float(sched(401 * spe)), 0.01)
+        assert np.isclose(float(sched(501 * spe)), 0.001)
+        assert np.isclose(float(sched(551 * spe)), 1e-4)
 
     def test_linear_capacity(self):
         assert np.isclose(float(schedules.linear_capacity(0, 0.0, 17.0, 1000)), 0.0)
