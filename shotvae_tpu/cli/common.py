@@ -160,6 +160,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         help="call jax.distributed.initialize() so the data "
                              "mesh spans all hosts (DCN); every process must "
                              "run the same command")
+    parser.add_argument("--bn-per-replica", action="store_true",
+                        help="DataParallel-faithful per-replica BatchNorm "
+                             "statistics (shard_map); default is sync-BN")
     return parser
 
 
@@ -194,5 +197,6 @@ def config_from_args(args) -> ShotVaeConfig:
         efficient=args.efficient, ckpt_every=args.ckpt_every,
         profile_dir=args.profile_dir, synthetic_size=args.synthetic_size,
         valid_per_class=args.valid_per_class,
-        annotated_per_class=args.annotated_per_class)
+        annotated_per_class=args.annotated_per_class,
+        bn_per_replica=args.bn_per_replica)
     return cfg

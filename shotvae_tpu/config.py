@@ -72,6 +72,7 @@ class ShotVaeConfig:
     profile_dir: str = ""         # jax.profiler trace of epoch start+1
     valid_per_class: int = 0      # >0 overrides the dataset's valid split size
     annotated_per_class: int = 0  # >0 overrides the labeled split size
+    bn_per_replica: bool = False  # DataParallel-faithful per-replica BN stats
 
     def apply_dataset_overrides(self, *, m2: bool = False) -> "DatasetSpec":
         """Per-dataset hard-coded overrides + dataset facts, in one place."""

@@ -95,3 +95,45 @@ class DataParallel:
             return jitted(state, *args)
 
         return wrapped
+
+    def shard_map_step(self, step_fn, *, batch_argnums: Sequence[int],
+                       donate_state: bool = True):
+        """shard_map a step for the per-replica-BatchNorm mode.
+
+        ``step_fn`` must have been built with ``axis_name=self.axis_name``
+        (``make_*_train_step``): each device runs it on its local batch shard
+        with its OWN BatchNorm batch statistics — the DataParallel-faithful
+        policy (nn.DataParallel never syncs BN, SURVEY.md §2.6) — and the
+        step itself pmean's gradients/metrics and resolves running stats.
+        Contrast with ``jit_step`` (GSPMD), where BN pools over the global
+        batch and XLA emits one all-reduce per BN layer per forward; here the
+        only collectives are the single gradient pmean + the tiny stats ones.
+
+        Same calling convention as ``jit_step``: args after ``state`` at
+        ``batch_argnums`` positions are batch-sharded, the rest replicated.
+        """
+        from jax.sharding import PartitionSpec
+
+        batch_argnums = frozenset(batch_argnums)
+        donate = (0,) if donate_state else ()
+        jitted_cache: dict = {}
+
+        def wrapped(state, *args):
+            nargs = len(args)
+            if nargs not in jitted_cache:
+                in_specs = (PartitionSpec(),) + tuple(
+                    PartitionSpec(self.axis_name) if i in batch_argnums
+                    else PartitionSpec() for i in range(nargs))
+                smapped = jax.shard_map(
+                    step_fn, mesh=self.mesh, in_specs=in_specs,
+                    out_specs=(PartitionSpec(), PartitionSpec()),
+                    check_vma=False)
+                jitted_cache[nargs] = jax.jit(smapped, donate_argnums=donate)
+            args = list(args)
+            for i in batch_argnums:
+                args[i] = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(
+                        x, self.batch_sharding(np.ndim(x))), args[i])
+            return jitted_cache[nargs](state, *args)
+
+        return wrapped

@@ -117,8 +117,8 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
     dp = _make_dp(cfg)
     if cfg.batch_size % dp.num_devices:
         raise ValueError(
-            f"batch_size {cfg.batch_size} must divide the data mesh size "
-            f"{dp.num_devices} (use --num-devices or adjust -b)")
+            f"batch_size {cfg.batch_size} must be divisible by the data mesh "
+            f"size {dp.num_devices} (use --num-devices or adjust -b)")
     train_ds = DeviceDataset(train_data, sharding=dp.replicated())
     test_ds = DeviceDataset(test_data, sharding=dp.replicated())
 
@@ -156,14 +156,17 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                         train_time=cfg.train_time)
     writer = TBWriter(log_dir)
 
+    # per-replica BN (DataParallel-faithful) runs the step under shard_map
+    axis_name = dp.axis_name if getattr(cfg, "bn_per_replica", False) else None
     if m2:
         raw_step = steps_lib.make_m2_train_step(
             model, num_classes=spec.num_classes, bce=cfg.br,
-            x_sigma=cfg.x_sigma)
+            x_sigma=cfg.x_sigma, axis_name=axis_name)
     else:
         raw_step = steps_lib.make_shot_vae_train_step(
             model, num_classes=spec.num_classes, bce=cfg.br,
-            x_sigma=cfg.x_sigma, epsilon=cfg.epsilon, optimal_match=cfg.om)
+            x_sigma=cfg.x_sigma, epsilon=cfg.epsilon, optimal_match=cfg.om,
+            axis_name=axis_name)
     raw_eval = steps_lib.make_vae_eval_step(
         model, num_classes=spec.num_classes, bce=cfg.br, x_sigma=cfg.x_sigma)
 
@@ -178,7 +181,10 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
             return raw_eval(state, img, lab, weight, key)
         return f
 
-    train_jit = dp.jit_step(step_by_index, batch_argnums=(0, 1))
+    if axis_name is not None:
+        train_jit = dp.shard_map_step(step_by_index, batch_argnums=(0, 1))
+    else:
+        train_jit = dp.jit_step(step_by_index, batch_argnums=(0, 1))
     ev_valid = dp.jit_step(eval_factory(train_ds), batch_argnums=(0, 1),
                            donate_state=False)
     ev_test = dp.jit_step(eval_factory(test_ds), batch_argnums=(0, 1),
@@ -201,7 +207,11 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         epoch_key = jax.random.fold_in(base_key, epoch)
         sched = _sched_to_device(shot_vae_epoch_schedules(epoch, cfg))
         batch_time = AverageMeter()
-        kl_inference = AverageMeter()
+        # KL_Inference accumulates EVERY batch like the reference meter
+        # (main_shot_vae.py:340) — as a device scalar (a lazy scalar add per
+        # step, no host sync); one device_get per epoch.
+        kl_inf_sum = jnp.float32(0.0)
+        n_steps = 0
         end = time.time()
         for i, idx_u in enumerate(epoch_batches(rng_u, split.unlabeled,
                                                 cfg.batch_size)):
@@ -209,17 +219,17 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
             state, t_metrics = train_jit(
                 state, jnp.asarray(idx_l), jnp.asarray(idx_u), sched,
                 jax.random.fold_in(epoch_key, i))
+            kl_inf_sum = kl_inf_sum + t_metrics["kl_inference"]
+            n_steps += 1
             if i % cfg.print_freq == 0:
-                # one host sync per print_freq steps only
-                kl_inference.update(float(t_metrics["kl_inference"]),
-                                    cfg.batch_size)
                 batch_time.update(time.time() - end)
                 log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
                        f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})")
             end = time.time()
         if profile_dir and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
-        writer.scalar("Train/KL_Inference", kl_inference.avg, epoch + 1)
+        writer.scalar("Train/KL_Inference",
+                      float(kl_inf_sum) / max(n_steps, 1), epoch + 1)
         if epoch % cfg.reconstruct_freq == 0:
             # Train/Raw_Image + Reconstruct_Image grids (":378-383"); uses an
             # eval-mode forward on the last unlabeled batch (the reference
@@ -409,18 +419,23 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
 
 
 class ReduceLROnPlateau:
-    """Host-side torch ReduceLROnPlateau (factor 0.1, patience 10, mode min)
-    used by the SVHN smooth-ELBO driver (main_smooth_ELBO_svhn.py:429,130)."""
+    """Host-side torch ReduceLROnPlateau (factor 0.1, patience 10, mode min,
+    rel threshold 1e-4) used by the SVHN smooth-ELBO driver
+    (main_smooth_ELBO_svhn.py:429,130). torch only counts an improvement when
+    ``metric < best * (1 - threshold)`` — strict ``<`` would let
+    infinitesimal improvements reset patience and delay LR drops."""
 
-    def __init__(self, factor: float = 0.1, patience: int = 10):
+    def __init__(self, factor: float = 0.1, patience: int = 10,
+                 threshold: float = 1e-4):
         self.factor = factor
         self.patience = patience
+        self.threshold = threshold
         self.best = float("inf")
         self.bad_epochs = 0
         self.scale = 1.0
 
     def step(self, metric: float) -> float:
-        if metric < self.best:
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad_epochs = 0
         else:
@@ -495,7 +510,14 @@ def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
         disc_dims=tuple(cfg.latent_spec_disc))
     raw_eval = steps_lib.make_smooth_elbo_eval_step(model)
 
-    def step_by_index(state, idx_u, idx_l, key):
+    def step_by_index(state, idx_u, idx_l, lr_scale, key):
+        # plateau LR flows in through the step signature (a traced scalar —
+        # no recompile on change) and is applied functionally via the
+        # inject_hyperparams state, never by host-side opt_state mutation.
+        hp = dict(state.opt_state.hyperparams)
+        hp["learning_rate"] = jnp.float32(cfg.learning_rate) * lr_scale
+        state = state.replace(opt_state=state.opt_state._replace(
+            hyperparams=hp))
         img_u, _ = train_ds.gather(idx_u)
         img_l, lab_l = train_ds.gather(idx_l)
         return raw_step(state, img_u, img_l, lab_l, key)
@@ -518,19 +540,24 @@ def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
     base_key = jax.random.key(cfg.seed + 1000)
     history = []
     total_epochs = max_epochs if max_epochs is not None else cfg.epochs
+    lr_scale = 1.0
     for epoch in range(total_epochs):
-        sums: dict = {}
+        # scalar metrics accumulate on device (lazy adds, no per-step host
+        # sync on this 1-core host); ONE device_get per epoch.
+        sums_dev: dict = {}
         nb = 0
         for i, idx_u in enumerate(epoch_batches(rng_u, unlabeled_idx,
                                                 cfg.unlabeled_batch_size)):
             idx_l = next(labeled_iter)
             state, metrics = train_jit(
                 state, jnp.asarray(idx_u), jnp.asarray(idx_l),
+                jnp.float32(lr_scale),
                 jax.random.fold_in(jax.random.fold_in(base_key, epoch), i))
             nb += 1
             for k, v in metrics.items():
                 if getattr(v, "ndim", 0) == 0:
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    sums_dev[k] = sums_dev.get(k, jnp.float32(0.0)) + v
+        sums = {k: float(v) for k, v in jax.device_get(sums_dev).items()}
 
         acc = MetricAccumulator()
         for idx, weight in _padded_eval_batches(
@@ -553,9 +580,7 @@ def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
         history.append({"epoch": epoch, "test_acc": float(test_acc),
                         "mean_loss": mean_loss})
         if plateau is not None:
-            scale = plateau.step(mean_loss)
-            state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                cfg.learning_rate * scale, jnp.float32)
+            lr_scale = plateau.step(mean_loss)
     logf.close()
 
     ckpt = CheckpointManager(cfg.base_path, dataset.upper(), cfg.train_time,

@@ -44,6 +44,40 @@ def _prepare(key, images_u8, aug: AugmentConfig, train: bool):
     return x
 
 
+def _fold_replica_key(key, axis_name):
+    """Decorrelate per-replica randomness (noise, augment, mixup draws)."""
+    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
+def _cross_replica(grads, new_bs, metrics, axis_name, bn_stats):
+    """Per-replica-BN collectives: ONE gradient pmean; BN stats per policy.
+
+    ``nn.DataParallel`` (shot_vae_model/vae.py:96-132) never syncs BatchNorm:
+    each replica normalises with its own local-batch statistics, and the
+    running stats that survive are those of replica 0 (the live module).
+    ``bn_stats='replica0'`` reproduces that exactly; ``'mean'`` averages the
+    per-replica EMA updates instead (a lower-variance, still-unsynced-forward
+    alternative). Gradients are pmean'd — identical math to DataParallel's
+    gather-loss-then-backward since every per-stream reduction divides by the
+    (equal) local batch size.
+    """
+    grads = jax.lax.pmean(grads, axis_name)
+    metrics = jax.tree_util.tree_map(
+        lambda m: jax.lax.pmean(m, axis_name), metrics)
+    if bn_stats == "replica0":
+        idx = jax.lax.axis_index(axis_name)
+        new_bs = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(
+                jnp.where(idx == 0, x, jnp.zeros_like(x)), axis_name),
+            new_bs)
+    elif bn_stats == "mean":
+        new_bs = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, axis_name), new_bs)
+    else:
+        raise ValueError(f"unknown bn_stats policy {bn_stats!r}")
+    return grads, new_bs, metrics
+
+
 def _apply_vae(model, params, batch_stats, x, key, *, train=True, **kwargs):
     """One VAE forward, returning outputs + updated BN stats."""
     key_s, key_d = jax.random.split(key)
@@ -66,6 +100,8 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
                              x_sigma: float, epsilon: float,
                              optimal_match: bool,
                              fused_streams: bool = False,
+                             axis_name: str | None = None,
+                             bn_stats: str = "replica0",
                              aug: AugmentConfig = AugmentConfig()):
     """The SHOT-VAE hot loop as one jittable function.
 
@@ -73,6 +109,17 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
     where ``sched`` is the dict from
     ``shotvae_tpu.ops.schedules.shot_vae_epoch_schedules`` (traced scalars —
     changing them does not recompile).
+
+    ``axis_name`` switches to the DataParallel-faithful per-replica-BN mode:
+    the step is meant to run under ``shard_map`` over that mesh axis
+    (``DataParallel.shard_map_step``), each replica computes BatchNorm with
+    its LOCAL batch statistics, gradients are pmean'd, and running stats
+    follow ``bn_stats`` (see ``_cross_replica``). Deviation vs the
+    reference in this mode: the mixup/label-smoothing partner permutations
+    are drawn within each replica's shard rather than over the global batch
+    (DataParallel mixes globally because mixup happens on the gathered
+    device-0 tensors, main_shot_vae.py:297-322) — same distribution, no
+    cross-replica pairs. Default (``axis_name=None``) is sync-BN GSPMD.
 
     ``fused_streams`` runs the labeled and unlabeled streams through TWO
     double-batch forwards ([x_l|x_u] and [smoothed_l|mixed_u]) instead of the
@@ -229,6 +276,8 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
     chosen_loss_fn = fused_loss_fn if fused_streams else loss_fn
 
     def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key):
+        if axis_name is not None:
+            key = _fold_replica_key(key, axis_name)
         key_aug_l, key_aug_u, key_loss = jax.random.split(key, 3)
         x_l = _prepare(key_aug_l, img_l, aug, train=True)
         x_u = _prepare(key_aug_u, img_u, aug, train=True)
@@ -236,6 +285,9 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, key_loss, x_l, lab_l, x_u, lab_u,
             sched)
+        if axis_name is not None:
+            grads, new_bs, metrics = _cross_replica(
+                grads, new_bs, metrics, axis_name, bn_stats)
         return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
 
     return step
@@ -247,8 +299,14 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
 
 
 def make_m2_train_step(model, *, num_classes: int, bce: bool, x_sigma: float,
+                       axis_name: str | None = None,
+                       bn_stats: str = "replica0",
                        aug: AugmentConfig = AugmentConfig()):
-    """M2 baseline: no mixup, no posterior terms; CE on q(y|x) directly."""
+    """M2 baseline: no mixup, no posterior terms; CE on q(y|x) directly.
+
+    ``axis_name``/``bn_stats``: per-replica-BN shard_map mode, see
+    ``make_shot_vae_train_step``.
+    """
 
     def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched):
         keys = jax.random.split(key, 2)
@@ -290,6 +348,8 @@ def make_m2_train_step(model, *, num_classes: int, bce: bool, x_sigma: float,
         return total, (bs, metrics)
 
     def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key):
+        if axis_name is not None:
+            key = _fold_replica_key(key, axis_name)
         key_aug_l, key_aug_u, key_loss = jax.random.split(key, 3)
         x_l = _prepare(key_aug_l, img_l, aug, train=True)
         x_u = _prepare(key_aug_u, img_u, aug, train=True)
@@ -297,6 +357,9 @@ def make_m2_train_step(model, *, num_classes: int, bce: bool, x_sigma: float,
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, key_loss, x_l, lab_l, x_u, lab_u,
             sched)
+        if axis_name is not None:
+            grads, new_bs, metrics = _cross_replica(
+                grads, new_bs, metrics, axis_name, bn_stats)
         return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
 
     return step
@@ -374,7 +437,9 @@ def softmax_ce(logits, labels):
     return -jnp.mean(jnp.take_along_axis(log_probs, labels[:, None], axis=1))
 
 
-def make_classifier_train_step(model, *, aug: AugmentConfig = AugmentConfig()):
+def make_classifier_train_step(model, *, axis_name: str | None = None,
+                               bn_stats: str = "replica0",
+                               aug: AugmentConfig = AugmentConfig()):
     def loss_fn(params, batch_stats, key, x, lab):
         variables = {"params": params, "batch_stats": batch_stats}
         logits, updates = model.apply(
@@ -384,11 +449,16 @@ def make_classifier_train_step(model, *, aug: AugmentConfig = AugmentConfig()):
         return loss, (updates["batch_stats"], {"cls_loss": loss})
 
     def step(state: TrainState, img, lab, key):
+        if axis_name is not None:
+            key = _fold_replica_key(key, axis_name)
         key_aug, key_loss = jax.random.split(key)
         x = _prepare(key_aug, img, aug, train=True)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, key_loss, x, lab)
+        if axis_name is not None:
+            grads, new_bs, metrics = _cross_replica(
+                grads, new_bs, metrics, axis_name, bn_stats)
         return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
 
     return step

@@ -127,3 +127,26 @@ class TestReduceLROnPlateau:
         assert s.step(2.0) == 1.0       # bad 2
         assert s.step(2.0) == pytest.approx(0.1)  # bad 3 > patience
         assert s.step(0.5) == pytest.approx(0.1)  # new best, scale sticks
+
+
+class TestReduceLROnPlateauThreshold:
+    def test_tiny_improvement_does_not_reset_patience(self):
+        s = ReduceLROnPlateau(factor=0.1, patience=1)
+        assert s.step(1.0) == 1.0
+        assert s.step(0.99999) == 1.0                 # within rel threshold
+        assert s.step(0.99998) == pytest.approx(0.1)  # bad 2 > patience
+
+    def test_matches_torch_on_metric_sequence(self):
+        import torch
+
+        metrics = [5.0, 4.0, 4.0, 3.9999, 4.0, 4.1, 4.0, 3.0, 3.0, 3.0,
+                   3.0, 2.9, 2.8999, 2.9, 2.9, 2.9]
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1.0)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", factor=0.1, patience=2)
+        ours = ReduceLROnPlateau(factor=0.1, patience=2)
+        for m in metrics:
+            tsched.step(m)
+            scale = ours.step(m)
+            assert scale == pytest.approx(opt.param_groups[0]["lr"]), m
