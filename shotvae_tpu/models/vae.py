@@ -105,7 +105,11 @@ class VariationalAutoEncoder(nn.Module):
         return recon.astype(jnp.float32)
 
     def __call__(self, x, *, labels=None, mixup: bool = False,
-                 labels_mixup=None, mixup_lam=None, train: bool = True):
+                 labels_mixup=None, mixup_lam=None, train: bool = True,
+                 noise=None):
+        """``noise`` optionally injects pre-drawn sampling randomness
+        ({"eps", "unif"}, see ops.sampling.joint_latent) for deterministic
+        replay — e.g. the cross-framework lockstep tests."""
         norm_mean, norm_log_sigma, disc_log_alpha = self.encode(x, train=train)
         key = self.make_rng("sample")
         latent = sampling.joint_latent(
@@ -114,6 +118,7 @@ class VariationalAutoEncoder(nn.Module):
             labels=labels,
             labels_mixup=labels_mixup if mixup else None,
             mixup_lam=mixup_lam if mixup else None,
+            noise=noise,
         )
         recon = self.decode(latent, train=train)
         return recon, norm_mean, norm_log_sigma, disc_log_alpha

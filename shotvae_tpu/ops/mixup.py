@@ -68,37 +68,45 @@ def optimal_match_index(z_mean, z_log_sigma):
 
 
 def mixup_vae_data(key, image, z_mean, z_log_sigma, disc_log_alpha, *,
-                   optimal_match: bool = False) -> MixupBatch:
+                   optimal_match: bool = False, lam=None,
+                   index=None) -> MixupBatch:
     """Posterior-interpolation mixup for the unlabeled stream.
 
     Parity: lib/utils/mixup.py:5-26 — lam ~ Beta(2,2); partner from a random
     permutation or the optimal KL match; interpolates the image, z-mean,
     z-*sigma* and y-*alpha* (probability space, not log space).
+    ``lam``/``index`` override the draws (deterministic replay).
     """
     key_lam, key_perm = jax.random.split(key)
-    lam = jax.random.beta(key_lam, 2.0, 2.0, dtype=jnp.float32)
+    if lam is None:
+        lam = jax.random.beta(key_lam, 2.0, 2.0, dtype=jnp.float32)
     if optimal_match:
         index = optimal_match_index(z_mean, z_log_sigma)
-    else:
+    elif index is None:
         index = jax.random.permutation(key_perm, image.shape[0])
     return _interpolate(image, z_mean, z_log_sigma, disc_log_alpha, index, lam,
                         labels=None)
 
 
 def label_smoothing(key, image, z_mean, z_log_sigma, disc_log_alpha, labels, *,
-                    epsilon: float = 0.1) -> MixupBatch:
+                    epsilon: float = 0.1, lam=None,
+                    index=None) -> MixupBatch:
     """Label-smoothing-strength interpolation for the labeled stream.
 
     Parity: lib/utils/mixup.py:29-41 — lam ~ Beta(eps, eps) (near 0/1 for
     small eps), random-permutation partner, and additionally returns the
-    partner's hard label.
+    partner's hard label. ``lam``/``index`` override the draws
+    (deterministic replay).
     """
     key_lam, key_perm = jax.random.split(key)
-    if epsilon > 0:
-        lam = jax.random.beta(key_lam, epsilon, epsilon, dtype=jnp.float32)
-    else:
-        lam = jnp.float32(1.0)
-    index = jax.random.permutation(key_perm, image.shape[0])
+    if lam is None:
+        if epsilon > 0:
+            lam = jax.random.beta(key_lam, epsilon, epsilon,
+                                  dtype=jnp.float32)
+        else:
+            lam = jnp.float32(1.0)
+    if index is None:
+        index = jax.random.permutation(key_perm, image.shape[0])
     return _interpolate(image, z_mean, z_log_sigma, disc_log_alpha, index, lam,
                         labels=labels)
 
@@ -143,6 +151,8 @@ def mixup_criterion(criterion, prediction, label_a, label_b, lam):
 
 
 def _interpolate(image, z_mean, z_log_sigma, disc_log_alpha, index, lam, *, labels):
+    lam = jnp.asarray(lam, jnp.float32)
+    index = jnp.asarray(index)
     lam_img = lam.astype(image.dtype)
     mixed_image = lam_img * image + (1.0 - lam_img) * jnp.take(image, index, axis=0)
     mixed_z_mean = lam * z_mean + (1.0 - lam) * jnp.take(z_mean, index, axis=0)

@@ -15,10 +15,15 @@ from jax import nn as jnn
 GUMBEL_EPS = 1e-12  # parity: vae.py:68 / mnist_vae.py:6
 
 
-def sample_gaussian(key, mean, log_sigma):
-    """z = mu + exp(log_sigma) * eps,  eps ~ N(0, I). Parity: vae.py:75-86."""
-    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
-    return mean + jnp.exp(log_sigma) * eps
+def sample_gaussian(key, mean, log_sigma, *, eps=None):
+    """z = mu + exp(log_sigma) * eps,  eps ~ N(0, I). Parity: vae.py:75-86.
+
+    ``eps`` overrides the draw (deterministic replay / cross-framework
+    lockstep testing).
+    """
+    if eps is None:
+        eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    return mean + jnp.exp(log_sigma) * eps.astype(mean.dtype)
 
 
 def sample_gaussian_logvar(key, mean, logvar):
@@ -27,13 +32,16 @@ def sample_gaussian_logvar(key, mean, logvar):
     return mean + jnp.exp(0.5 * logvar) * eps
 
 
-def sample_gumbel_softmax(key, log_alpha, temperature):
+def sample_gumbel_softmax(key, log_alpha, temperature, *, unif=None):
     """Gumbel-softmax sample from log-probabilities. Parity: vae.py:58-73.
 
     Uses the reference's exact construction: u ~ U[0,1),
     g = -log(-log(u + EPS) + EPS), softmax((log_alpha + g) / T).
+    ``unif`` overrides the uniform draw (deterministic replay).
     """
-    unif = jax.random.uniform(key, log_alpha.shape, dtype=log_alpha.dtype)
+    if unif is None:
+        unif = jax.random.uniform(key, log_alpha.shape, dtype=log_alpha.dtype)
+    unif = unif.astype(log_alpha.dtype)
     gumbel = -jnp.log(-jnp.log(unif + GUMBEL_EPS) + GUMBEL_EPS)
     return jnn.softmax((log_alpha + gumbel) / temperature, axis=1)
 
@@ -48,7 +56,7 @@ def label_onehot(labels, num_classes: int, dtype=jnp.float32):
 
 
 def discrete_latent(key, disc_log_alpha, temperature, *, labels=None,
-                    labels_mixup=None, mixup_lam=None):
+                    labels_mixup=None, mixup_lam=None, unif=None):
     """The discrete half of ``Sample.forward`` (vae.py:38-52).
 
     labeled:          ground-truth one-hot replaces the sample;
@@ -62,27 +70,33 @@ def discrete_latent(key, disc_log_alpha, temperature, *, labels=None,
     """
     num_classes = disc_log_alpha.shape[1]
     if labels is None:
-        return sample_gumbel_softmax(key, disc_log_alpha, temperature)
+        return sample_gumbel_softmax(key, disc_log_alpha, temperature,
+                                     unif=unif)
     c = label_onehot(labels, num_classes, disc_log_alpha.dtype)
     if labels_mixup is not None:
         c_b = label_onehot(labels_mixup, num_classes, disc_log_alpha.dtype)
         c = mixup_lam * c + (1.0 - mixup_lam) * c_b
     labeled_mask = jnp.asarray(labels) >= 0
-    gumbel = sample_gumbel_softmax(key, disc_log_alpha, temperature)
+    gumbel = sample_gumbel_softmax(key, disc_log_alpha, temperature, unif=unif)
     return jnp.where(labeled_mask[:, None], c, gumbel)
 
 
 def joint_latent(key, norm_mean, norm_log_sigma, disc_log_alpha, temperature, *,
-                 labels=None, labels_mixup=None, mixup_lam=None):
+                 labels=None, labels_mixup=None, mixup_lam=None, noise=None):
     """[z ; y] concatenation fed to the decoder. Parity: vae.py:36-56.
 
     Returns shape (B, D_cont + D_disc); the decoder reshapes to (B,1,1,D) in
-    NHWC itself.
+    NHWC itself. ``noise`` optionally injects pre-drawn randomness for
+    deterministic replay: a dict with "eps" (gaussian, shape of mean) and/or
+    "unif" (gumbel uniforms, shape of log_alpha).
     """
+    noise = noise or {}
     key_z, key_y = jax.random.split(key)
-    z = sample_gaussian(key_z, norm_mean, norm_log_sigma)
+    z = sample_gaussian(key_z, norm_mean, norm_log_sigma,
+                        eps=noise.get("eps"))
     y = discrete_latent(key_y, disc_log_alpha, temperature, labels=labels,
-                        labels_mixup=labels_mixup, mixup_lam=mixup_lam)
+                        labels_mixup=labels_mixup, mixup_lam=mixup_lam,
+                        unif=noise.get("unif"))
     return jnp.concatenate([z, y], axis=1)
 
 

@@ -78,6 +78,24 @@ def _cross_replica(grads, new_bs, metrics, axis_name, bn_stats):
     return grads, new_bs, metrics
 
 
+def _inject_noise(inject, eps_key, unif_key=None):
+    """Assemble the per-forward ``noise`` dict from a replay-injection dict.
+
+    ``inject`` maps draw-site names (eps_1..eps_4, unif_3/unif_4, lam_sm,
+    perm_sm, lam_mx, perm_mx) to pre-drawn arrays; used by the
+    cross-framework lockstep tests to feed IDENTICAL randomness to this step
+    and the torch reference. None (the default everywhere) draws normally.
+    """
+    if not inject:
+        return None
+    d = {}
+    if eps_key in inject:
+        d["eps"] = inject[eps_key]
+    if unif_key is not None and unif_key in inject:
+        d["unif"] = inject[unif_key]
+    return d or None
+
+
 def _apply_vae(model, params, batch_stats, x, key, *, train=True, **kwargs):
     """One VAE forward, returning outputs + updated BN stats."""
     key_s, key_d = jax.random.split(key)
@@ -206,16 +224,19 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
         }
         return total, (bs, metrics)
 
-    def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched):
+    def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched,
+                inject=None):
         keys = jax.random.split(key, 6)
         bs = batch_stats
         batch_l = x_l.shape[0]
         batch_u = x_u.shape[0]
+        inj = inject or {}
         onehot_l = jnn.one_hot(lab_l, num_classes, dtype=jnp.float32)
 
         # ---- labeled forward 1: ground-truth label path (":285-295") ----
         (recon_l, mean_l, ls_l, la_l), bs = _apply_vae(
-            model, params, bs, x_l, keys[0], labels=lab_l)
+            model, params, bs, x_l, keys[0], labels=lab_l,
+            noise=_inject_noise(inject, "eps_1"))
         r_l, ckl_l, dkl_l = losses.elbo_terms(
             x_l, recon_l, mean_l, ls_l, la_l, num_classes=num_classes,
             bce=bce, x_sigma=x_sigma)
@@ -226,10 +247,13 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
         # ---- labeled forward 2: label-smoothing interpolation (":297-322") ----
         sg = jax.lax.stop_gradient
         sm = mixup.label_smoothing(keys[1], sg(x_l), sg(mean_l), sg(ls_l),
-                                   sg(la_l), lab_l, epsilon=epsilon)
+                                   sg(la_l), lab_l, epsilon=epsilon,
+                                   lam=inj.get("lam_sm"),
+                                   index=inj.get("perm_sm"))
         (_, mean_sm, ls_sm, la_sm), bs = _apply_vae(
             model, params, bs, sm.image, keys[2], labels=lab_l, mixup=True,
-            labels_mixup=sm.partner_labels, mixup_lam=sm.lam)
+            labels_mixup=sm.partner_labels, mixup_lam=sm.lam,
+            noise=_inject_noise(inject, "eps_2"))
         onehot_partner = jnn.one_hot(sm.partner_labels, num_classes,
                                      dtype=jnp.float32)
         disc_post_l = (sm.lam * losses.cls_nll(la_sm, onehot_l)
@@ -241,7 +265,8 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
 
         # ---- unlabeled forward 3: gumbel-softmax path (":327-346") ----
         (recon_u, mean_u, ls_u, la_u), bs = _apply_vae(
-            model, params, bs, x_u, keys[3])
+            model, params, bs, x_u, keys[3],
+            noise=_inject_noise(inject, "eps_3", "unif_3"))
         r_u, ckl_u, dkl_u = losses.elbo_terms(
             x_u, recon_u, mean_u, ls_u, la_u, num_classes=num_classes,
             bce=bce, x_sigma=x_sigma)
@@ -253,9 +278,12 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
 
         # ---- unlabeled forward 4: posterior mixup (":348-362") ----
         mx = mixup.mixup_vae_data(keys[4], sg(x_u), sg(mean_u), sg(ls_u),
-                                  sg(la_u), optimal_match=optimal_match)
+                                  sg(la_u), optimal_match=optimal_match,
+                                  lam=inj.get("lam_mx"),
+                                  index=inj.get("perm_mx"))
         (_, mean_mx, ls_mx, la_mx), bs = _apply_vae(
-            model, params, bs, mx.image, keys[5])
+            model, params, bs, mx.image, keys[5],
+            noise=_inject_noise(inject, "eps_4", "unif_4"))
         disc_post_u = losses.cls_nll(la_mx, mx.disc_alpha)
         cont_post_u = (jnp.sum((mean_mx - mx.z_mean) ** 2)
                        + jnp.sum((jnp.exp(ls_mx) - mx.z_sigma) ** 2)) / batch_u
@@ -275,16 +303,21 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
 
     chosen_loss_fn = fused_loss_fn if fused_streams else loss_fn
 
-    def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key):
+    def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key,
+             inject=None):
+        if inject is not None and fused_streams:
+            raise NotImplementedError(
+                "replay injection is only supported on the 4-forward path")
         if axis_name is not None:
             key = _fold_replica_key(key, axis_name)
         key_aug_l, key_aug_u, key_loss = jax.random.split(key, 3)
         x_l = _prepare(key_aug_l, img_l, aug, train=True)
         x_u = _prepare(key_aug_u, img_u, aug, train=True)
         grad_fn = jax.value_and_grad(chosen_loss_fn, has_aux=True)
+        extra = () if fused_streams else (inject,)
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, key_loss, x_l, lab_l, x_u, lab_u,
-            sched)
+            sched, *extra)
         if axis_name is not None:
             grads, new_bs, metrics = _cross_replica(
                 grads, new_bs, metrics, axis_name, bn_stats)
@@ -308,13 +341,15 @@ def make_m2_train_step(model, *, num_classes: int, bce: bool, x_sigma: float,
     ``make_shot_vae_train_step``.
     """
 
-    def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched):
+    def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched,
+                inject=None):
         keys = jax.random.split(key, 2)
         bs = batch_stats
         onehot_l = jnn.one_hot(lab_l, num_classes, dtype=jnp.float32)
 
         (recon_l, mean_l, ls_l, la_l), bs = _apply_vae(
-            model, params, bs, x_l, keys[0], labels=lab_l)
+            model, params, bs, x_l, keys[0], labels=lab_l,
+            noise=_inject_noise(inject, "eps_1"))
         r_l, ckl_l, dkl_l = losses.elbo_terms(
             x_l, recon_l, mean_l, ls_l, la_l, num_classes=num_classes,
             bce=bce, x_sigma=x_sigma)
@@ -325,7 +360,8 @@ def make_m2_train_step(model, *, num_classes: int, bce: bool, x_sigma: float,
         loss_supervised = sched["ew"] * elbo_l + disc_post_l
 
         (recon_u, mean_u, ls_u, la_u), bs = _apply_vae(
-            model, params, bs, x_u, keys[1])
+            model, params, bs, x_u, keys[1],
+            noise=_inject_noise(inject, "eps_2", "unif_2"))
         r_u, ckl_u, dkl_u = losses.elbo_terms(
             x_u, recon_u, mean_u, ls_u, la_u, num_classes=num_classes,
             bce=bce, x_sigma=x_sigma)
@@ -347,7 +383,8 @@ def make_m2_train_step(model, *, num_classes: int, bce: bool, x_sigma: float,
         }
         return total, (bs, metrics)
 
-    def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key):
+    def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key,
+             inject=None):
         if axis_name is not None:
             key = _fold_replica_key(key, axis_name)
         key_aug_l, key_aug_u, key_loss = jax.random.split(key, 3)
@@ -356,7 +393,7 @@ def make_m2_train_step(model, *, num_classes: int, bce: bool, x_sigma: float,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, key_loss, x_l, lab_l, x_u, lab_u,
-            sched)
+            sched, inject)
         if axis_name is not None:
             grads, new_bs, metrics = _cross_replica(
                 grads, new_bs, metrics, axis_name, bn_stats)
