@@ -1,0 +1,87 @@
+"""Accuracy-reproduction runner: the exact CIFAR-10(4k) 600-epoch recipe.
+
+North star: CIFAR-10 4k-label SHOT-VAE, WRN-28-2, test top-1 within 0.5% of
+the reference's ~0.915 (reference README.md:84-88 command, :123 result
+curve). With the dataset on disk this runs the full recipe and reports the
+final/best accuracy against the target; without it (this build environment
+has no egress), it prints the execution plan and exits non-zero so the gap
+is visible rather than silently skipped.
+
+Usage:
+  python scripts/run_repro.py [--base-path BP] [--net-name wideresnet-28-2]
+                              [--epochs 600] [--target 0.915]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--base-path", default=".")
+    p.add_argument("--net-name", default="wideresnet-28-2")
+    p.add_argument("--epochs", type=int, default=600)
+    p.add_argument("--target", type=float, default=0.915,
+                   help="reference plateau accuracy (BASELINE.md)")
+    p.add_argument("--tolerance", type=float, default=0.005)
+    args = p.parse_args(argv)
+
+    from shotvae_tpu.config import ShotVaeConfig
+
+    # the reference CIFAR-10(4k) command: main_shot_vae.py -bp BP
+    #   --net-name wideresnet-28-2 --dataset Cifar10 --br
+    # (README.md:84-88; defaults: batch 768, lr 0.1, adjust_lr [400,500,550],
+    #  epochs 600, annotated-ratio 0.1 -> 4000 labels, main_shot_vae.py:30-106)
+    cfg = ShotVaeConfig(base_path=args.base_path, dataset="Cifar10",
+                        net_name=args.net_name, br=True, epochs=args.epochs,
+                        yes=True, ckpt_every=20)
+
+    data_root = os.path.join(args.base_path, "dataset", "cifar",
+                             "cifar-10-batches-py")
+    if not os.path.isdir(data_root):
+        plan = {
+            "status": "DATA_ABSENT",
+            "needs": f"{data_root}/ (standard cifar-10-batches-py pickles)",
+            "would_run": {k: v for k, v in cfg.asdict().items()
+                          if k in ("dataset", "net_name", "batch_size",
+                                   "epochs", "lr", "adjust_lr", "br",
+                                   "annotated_ratio", "epsilon",
+                                   "temperature")},
+            "labels": 4000,
+            "target_test_top1": [args.target - args.tolerance,
+                                 args.target + args.tolerance],
+            "est_wall_clock_hours_v5e1":
+                round(args.epochs * 45000 / 7300 / 3600, 2),
+            "note": "no network egress in the build environment; place the "
+                    "dataset under <base-path>/dataset/cifar and rerun",
+        }
+        print(json.dumps(plan, indent=2))
+        return 2
+
+    from shotvae_tpu.train.loop import run_shot_vae
+
+    result = run_shot_vae(cfg)
+    best = result["best_valid_acc"]
+    final_test = result["history"][-1]["test_top1"]
+    best_test = max(h["test_top1"] for h in result["history"])
+    ok = abs(best_test - args.target) <= args.tolerance \
+        or best_test > args.target
+    print(json.dumps({
+        "status": "RAN",
+        "best_valid_top1": best,
+        "final_test_top1": final_test,
+        "best_test_top1": best_test,
+        "target_test_top1": args.target,
+        "within_tolerance": bool(ok),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -291,12 +291,16 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         history.append({"epoch": epoch, "valid_top1": valid_acc,
                         "test_top1": test_acc})
 
-        if (epoch + 1) % max(cfg.ckpt_every, 1) == 0 or epoch == total_epochs - 1:
+        # ckpt_every <= 0 disables checkpointing entirely (benchmarks /
+        # short experiments; the first orbax save costs ~200s on this
+        # tunnel). Default 1 = reference parity (save every epoch).
+        if cfg.ckpt_every > 0 and ((epoch + 1) % cfg.ckpt_every == 0
+                                   or epoch == total_epochs - 1):
             ckpt.save(state, epoch=epoch + 1, config=cfg.asdict())
         # deviation (documented): best = MAX validation accuracy
         if valid_acc > best_valid_acc:
             best_valid_acc = valid_acc
-            if epoch >= cfg.adjust_lr[-1]:
+            if cfg.ckpt_every > 0 and epoch >= cfg.adjust_lr[-1]:
                 ckpt.save(state, epoch=epoch + 1, config=cfg.asdict(),
                           best=True)
         # Cifar10 ewm x5 bump at the first milestone (":255-258", SHOT only)
