@@ -48,8 +48,35 @@ SCHED = dict(cmi=0.4, dmi=2.3, ew=1e-3, kl_beta_c=1e-3, kl_beta_d=1e-3,
 @pytest.fixture(scope="module")
 def torch():
     torch = pytest.importorskip("torch")
-    sys.path.insert(0, os.path.join(REF, "shot_vae_model"))
     return torch
+
+
+def _fresh_ref_import(dir_name, mod_name, siblings):
+    """Import a reference module with ITS directory first on sys.path.
+
+    The reference packages import siblings by bare name (shot_vae_model and
+    classifier_model both define ``wideresnet``), and other test modules
+    (test_torch_compat) may have left the WRONG variant in sys.modules —
+    purge the bare names and re-import fresh so module identity is
+    deterministic regardless of test order.
+    """
+    import importlib
+
+    path = os.path.join(REF, dir_name)
+    sys.path.insert(0, path)
+    for m in (mod_name, *siblings):
+        sys.modules.pop(m, None)
+    return importlib.import_module(mod_name)
+
+
+def _ref_vae_module():
+    return _fresh_ref_import(
+        "shot_vae_model", "vae",
+        ["wideresnet", "preactresnet", "densenet", "decoder", "mlpvae"])
+
+
+def _ref_classifier_module():
+    return _fresh_ref_import("classifier_model", "wideresnet", ["mlp"])
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +327,7 @@ def _torch_inputs(torch, img_l, lab_l, img_u):
 
 class TestShotVaeLockstep:
     def test_five_steps_match_reference(self, torch):
-        import vae as ref_vae  # shot_vae_model on sys.path via fixture
+        ref_vae = _ref_vae_module()
 
         from shotvae_tpu.train import steps as steps_lib
 
@@ -346,7 +373,7 @@ class TestShotVaeLockstep:
 
 class TestM2Lockstep:
     def test_five_steps_match_reference(self, torch):
-        import vae as ref_vae
+        ref_vae = _ref_vae_module()
 
         from shotvae_tpu.train import steps as steps_lib
 
@@ -391,15 +418,7 @@ class TestM2Lockstep:
 
 class TestClassifierLockstep:
     def test_five_steps_match_reference(self, torch):
-        sys.path.insert(0, os.path.join(REF, "classifier_model"))
-        import importlib
-
-        import wideresnet as maybe_cls
-        if not hasattr(maybe_cls.WideResNet(data_parallel=False,
-                                            small_input=True,
-                                            depth=10, width=1),
-                       "classification"):
-            maybe_cls = importlib.reload(maybe_cls)
+        maybe_cls = _ref_classifier_module()
 
         from shotvae_tpu.models import WideResNetClassifier
         from shotvae_tpu.train import steps as steps_lib
