@@ -41,6 +41,7 @@ REF_ESTIMATE_IMG_PER_SEC = 900.0
 
 KIND = os.environ.get("BENCH_KIND", "shot")
 NET_NAME = os.environ.get("BENCH_NET", "wideresnet-28-2")
+EFFICIENT = os.environ.get("BENCH_EFFICIENT", "") == "1"  # densenet remat
 BATCH = int(os.environ.get("BENCH_BATCH", "768"))
 WARMUP_STEPS = 3
 MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", "20"))
@@ -62,7 +63,8 @@ def _vae_bench(m2: bool):
                              sharding=dp.replicated())
     model = VariationalAutoEncoder(
         encoder_name=NET_NAME, num_input_channels=3,
-        continuous_latent_dim=128, disc_latent_dim=10, dtype=jnp.bfloat16)
+        continuous_latent_dim=128, disc_latent_dim=10, dtype=jnp.bfloat16,
+        efficient=EFFICIENT)
     tx = sgd_torch(multistep_lr(0.1, [400, 500, 550], 65))
     params, batch_stats = init_model(model, jax.random.key(1),
                                      jnp.zeros((2, 32, 32, 3)))
