@@ -273,6 +273,36 @@ def import_smooth_vae_state_dict(state_dict, *, encoder_channels=(32, 64, 64),
     return params, {}
 
 
+def import_mlp_state_dict(state_dict) -> Tuple[dict, dict]:
+    """Convert a classifier MLP state_dict (classifier_model/mlp.py:7-44).
+
+    Keys: ``encoder.module.{0,2,4}`` (convs) and ``classifier.module.{0,2}``
+    (the two Dense layers). The first Dense consumes the flattened 64x4x4
+    feature map, so its input dimension is permuted from torch (C,H,W) to
+    our (H,W,C) flattening order.
+    """
+    perm = _chw_to_hwc_perm(64, 4, 4)
+    params: dict = {}
+    for full_key, value in state_dict.items():
+        v = np.asarray(getattr(value, "detach", lambda: value)().cpu()
+                       if hasattr(value, "detach") else value, np.float32)
+        key = full_key.replace(".module", "")
+        stem, leaf = key.rsplit(".", 1)
+        m = re.match(r"encoder\.(\d+)$", stem)
+        if m:
+            name, v = f"conv{int(m.group(1)) // 2}", (
+                v.transpose(2, 3, 1, 0) if leaf == "weight" else v)
+        elif stem == "classifier.0":
+            name, v = "fc0", (v.T[perm, :] if leaf == "weight" else v)
+        elif stem == "classifier.2":
+            name, v = "fc1", (v.T if leaf == "weight" else v)
+        else:
+            raise KeyError(f"unmapped mlp key: {key}")
+        params.setdefault(name, {})[
+            "kernel" if leaf == "weight" else "bias"] = np.ascontiguousarray(v)
+    return params, {}
+
+
 def merge_imported(template_params, template_stats, params, batch_stats):
     """Overlay imported leaves onto template trees (shape-checked)."""
 

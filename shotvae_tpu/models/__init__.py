@@ -6,7 +6,7 @@ NHWC layout, bfloat16 compute with float32 params and BatchNorm stats,
 explicit PRNG collections ('sample', 'dropout') instead of global RNG state.
 """
 
-from shotvae_tpu.models.classifier import WideResNetClassifier, build_classifier
+from shotvae_tpu.models.classifier import MLPClassifier, WideResNetClassifier, build_classifier
 from shotvae_tpu.models.decoder import Decoder
 from shotvae_tpu.models.densenet import DenseNet, densenet_dict
 from shotvae_tpu.models.preactresnet import PreActResNet, preactresnet_dict
@@ -21,6 +21,7 @@ __all__ = [
     "SmoothVAE",
     "VariationalAutoEncoder",
     "WideResNet",
+    "MLPClassifier",
     "WideResNetClassifier",
     "build_classifier",
     "build_encoder",

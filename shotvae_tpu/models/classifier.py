@@ -47,6 +47,33 @@ class WideResNetClassifier(nn.Module):
         return logits
 
 
+class MLPClassifier(nn.Module):
+    """Small conv classifier (reference classifier_model/mlp.py:7-44).
+
+    Dead code in the reference (no driver imports it); ported for inventory
+    completeness. Despite the name it is a 3-conv encoder (1->32->64->64,
+    k4 s2 p1, ReLU) followed by flatten -> Dense(256) -> ReLU ->
+    Dense(num_classes). The reference ctor's ``num_input_channels``,
+    ``hidden_unit`` and ``drop_rate`` args are unused there (the commented-out
+    true-MLP path) and are not reproduced here.
+    """
+
+    num_classes: int = 10
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from shotvae_tpu.models.layers import TorchConv, TorchDense, relu
+
+        for i, ch in enumerate((32, 64, 64)):
+            x = relu(TorchConv(ch, (4, 4), strides=2, padding=1,
+                               dtype=self.dtype, name=f"conv{i}")(x))
+        x = x.reshape(x.shape[0], -1)
+        h = relu(TorchDense(256, dtype=self.dtype, name="fc0")(x))
+        return TorchDense(self.num_classes, name="fc1")(
+            h.astype(jnp.float32))
+
+
 def build_classifier(net_name: str, num_classes: int, *, drop_rate: float = 0.0,
                      small_input: bool = True, dtype=None, axis_name=None):
     """'wideresnet-28-2' -> WideResNetClassifier (classifier get_wide_resnet parity)."""

@@ -207,6 +207,7 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         epoch_key = jax.random.fold_in(base_key, epoch)
         sched = _sched_to_device(shot_vae_epoch_schedules(epoch, cfg))
         batch_time = AverageMeter()
+        data_time = AverageMeter()
         # KL_Inference accumulates EVERY batch like the reference meter
         # (main_shot_vae.py:340) — as a device scalar (a lazy scalar add per
         # step, no host sync); one device_get per epoch.
@@ -216,16 +217,22 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         for i, idx_u in enumerate(epoch_batches(rng_u, split.unlabeled,
                                                 cfg.batch_size)):
             idx_l = next(labeled_iter)
+            # "data" = host-side batch prep; the actual gather+augment runs
+            # inside the compiled step (counted in batch_time, like the
+            # reference's GPU transforms land in its batch_time).
+            data_time.update(time.time() - end)
             state, t_metrics = train_jit(
                 state, jnp.asarray(idx_l), jnp.asarray(idx_u), sched,
                 jax.random.fold_in(epoch_key, i))
             kl_inf_sum = kl_inf_sum + t_metrics["kl_inference"]
             n_steps += 1
-            if i % cfg.print_freq == 0:
-                batch_time.update(time.time() - end)
-                log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
-                       f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})")
+            batch_time.update(time.time() - end)
             end = time.time()
+            if i % cfg.print_freq == 0:
+                # main_shot_vae.py:367-374 print format ("Time/Data val (avg)")
+                log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
+                       f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                       f"Data {data_time.val:.3f} ({data_time.avg:.3f})")
         if profile_dir and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
         writer.scalar("Train/KL_Inference",

@@ -131,3 +131,36 @@ class TestSmoothVaeImport:
         np.testing.assert_allclose(
             np.asarray(recon), t_recon.permute(0, 2, 3, 1).numpy(),
             rtol=1e-3, atol=1e-3)
+
+
+class TestMLPClassifierImport:
+    def test_forward_matches(self, torch_ref):
+        torch = torch_ref
+        sys.path.insert(0, os.path.join(REF, "classifier_model"))
+        import mlp as ref_mod
+
+        torch.manual_seed(0)
+        ref = ref_mod.MLP(num_classes=10)
+        ref.eval()
+
+        from shotvae_tpu.io.torch_compat import import_mlp_state_dict, merge_imported
+        from shotvae_tpu.models import MLPClassifier
+        from shotvae_tpu.train.state import init_model
+
+        model = MLPClassifier(num_classes=10)
+        params, stats = init_model(model, jax.random.key(0),
+                                   jnp.zeros((1, 32, 32, 1)))
+        ip, istats = import_mlp_state_dict(ref.state_dict())
+        params, stats = merge_imported(params, stats, ip, istats)
+
+        # build NCHW natively: a permuted NHWC tensor with C=1 is classified
+        # channels-last by torch, which flips the conv output layout and
+        # breaks the reference's .view()
+        x_nchw = np.random.default_rng(2).normal(
+            size=(3, 1, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x_nchw)).numpy()
+        x = np.ascontiguousarray(x_nchw.transpose(0, 2, 3, 1))
+        got = model.apply({"params": params, "batch_stats": stats or {}},
+                          jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
