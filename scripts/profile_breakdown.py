@@ -1,11 +1,13 @@
 """Op-level step-time breakdown on the real chip (VERDICT round-1 #4).
 
-jax.profiler traces hang on this axon setup (CLAUDE.md), so the breakdown
-is built the direct way: each component of the SHOT-VAE step is jitted and
-timed in isolation at the production shapes, with XLA-reported FLOPs from
-``compiled.cost_analysis()``, so the table shows where the 105 ms goes and
-which parts are MXU-bound. Run: python scripts/profile_breakdown.py
-[--net wideresnet-28-2] [--batch 768]
+jax.profiler traces hang on this axon setup (CLAUDE.md) and per-call wall
+timing is polluted by the tunnel's multi-ms dispatch floor (an isolated
+0.2 ms kernel "measures" 20 ms). So each component is timed as K iterations
+of a ``lax.scan`` INSIDE one jitted program — pure device time — with a
+carry-fed input perturbation so XLA cannot hoist the loop-invariant body.
+FLOPs come from ``compiled.cost_analysis()`` on the single-iteration jit.
+
+Run: python scripts/profile_breakdown.py [--net wideresnet-28-2] [--batch 768]
 """
 
 from __future__ import annotations
@@ -22,20 +24,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, n=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
+K = 10  # scan iterations per timed program
+
+
+def device_time(fn, *args, n=5):
+    """Median wall time of a jitted K-iteration scan, per iteration."""
+    jitted = jax.jit(fn)
+    out = jitted(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        out = jitted(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K
 
 
-def flops_of(jitted, *args):
+def flops_of(fn, *args):
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         return float(cost.get("flops", 0.0))
@@ -69,98 +77,198 @@ def main():
         ucw=1.0).items()}
     key = jax.random.key(0)
     idx = jnp.arange(B) % 4096
-    img, lab = ds.gather(idx)
+    img, lab0 = ds.gather(idx)
+    lab = lab0
     x = to_float(img)
     xb = x.astype(jnp.bfloat16)
+    latent = jax.random.normal(key, (B, 138), jnp.bfloat16)
 
     rows = []
 
-    def add(name, fn, *fargs, n=20, mult=1.0):
-        jitted = jax.jit(fn)
-        dt = timed(jitted, *fargs, n=n) * mult
-        fl = flops_of(jitted, *fargs) * mult
-        rows.append((name, dt * 1e3, fl / 1e12, (fl / dt) / 1e12
-                     if dt else 0.0))
+    def add(name, scan_fn, once_fn, once_args, mult=1.0):
+        dt = device_time(scan_fn) * mult
+        fl = flops_of(once_fn, *once_args) * mult
+        rows.append((name, dt * 1e3, fl / 1e12,
+                     (fl / dt) / 1e12 if dt else 0.0))
         return dt
 
-    # ---- full step (the 105 ms) ----
+    # ---- full train step (carry = state; fresh key per iter) ----
     raw = steps_lib.make_shot_vae_train_step(
         model, num_classes=10, bce=True, x_sigma=1.0, epsilon=0.1,
         optimal_match=False)
 
-    def by_idx(state, idx_l, idx_u, sched, key):
-        img_l, lab_l = ds.gather(idx_l)
-        img_u, lab_u = ds.gather(idx_u)
-        return raw(state, img_l, lab_l, img_u, lab_u, sched, key)
+    def full_once(state, i, k):
+        ii = (idx + i) % 4096
+        img_l, lab_l = ds.gather(ii)
+        img_u, lab_u = ds.gather(ii)
+        return raw(state, img_l, lab_l, img_u, lab_u, sched, k)
 
-    t_full = add("FULL train step (gather+aug+4fwd+bwd+sgd)", by_idx, state,
-                 idx, idx, sched, key)
+    def full_scan():
+        def body(st, i):
+            st, m = full_once(st, i, jax.random.fold_in(key, i))
+            return st, m["loss"]
+        return jax.lax.scan(body, state, jnp.arange(K))[1]
 
-    # ---- forward-only loss (value, no grad): isolates backward cost ----
-    def fwd_only(params, batch_stats, x1, x2, key):
-        def lf(p):
-            out, _ = _loss(p, batch_stats, x1, x2, key)
-            return out
-        return lf(params)
+    t_full = add("FULL train step (gather+aug+4fwd+bwd+sgd)", full_scan,
+                 full_once, (state, 0, key))
 
-    def _loss(p, b, x1, x2, key):
-        # same 4-forward composition, value only
-        keys = jax.random.split(key, 6)
-        (r1, m1, s1, a1), b = steps_lib._apply_vae(model, p, b, x1, keys[0],
-                                                   labels=lab)
-        (r2, m2, s2, a2), b = steps_lib._apply_vae(model, p, b, x1, keys[1],
-                                                   labels=lab)
-        (r3, m3, s3, a3), b = steps_lib._apply_vae(model, p, b, x2, keys[2])
-        (r4, m4, s4, a4), b = steps_lib._apply_vae(model, p, b, x2, keys[3])
-        tot = sum(jnp.sum(t.astype(jnp.float32)) for t in
-                  (r1, r2, r3, r4, m1, m2, m3, m4))
-        return tot, b
+    # ---- ablation: same step on pre-gathered inputs (gather cost by diff;
+    #      the augment still runs — it lives INSIDE the jitted step) ----
+    def nogather_scan():
+        def body(st, i):
+            st, m = raw(st, img, lab, img, lab, sched,
+                        jax.random.fold_in(key, i))
+            return st, m["loss"]
+        return jax.lax.scan(body, state, jnp.arange(K))[1]
 
-    add("4 forwards only (no backward)", fwd_only, params, bs, xb, xb, key)
+    add("step w/o gather (pre-fetched uint8)", nogather_scan,
+        lambda st, k: raw(st, img, lab, img, lab, sched, k), (state, key))
 
-    # ---- encoder / decoder split (single forward x4) ----
-    enc = model.bind({"params": params, "batch_stats": bs})
+    # ---- ablation: augment disabled inside the step ----
+    raw_noaug = steps_lib.make_shot_vae_train_step(
+        model, num_classes=10, bce=True, x_sigma=1.0, epsilon=0.1,
+        optimal_match=False,
+        aug=steps_lib.AugmentConfig(enabled=False))
 
-    def enc_fwd(p, b, x):
-        out, mut = model.apply({"params": p, "batch_stats": b}, x,
-                               train=True, method="encode",
-                               rngs={"sample": key},
-                               mutable=["batch_stats"])
+    def noaug_scan():
+        def body(st, i):
+            ii = (idx + i) % 4096
+            img_l, lab_l = ds.gather(ii)
+            st, m = raw_noaug(st, img_l, lab_l, img_l, lab_l, sched,
+                              jax.random.fold_in(key, i))
+            return st, m["loss"]
+        return jax.lax.scan(body, state, jnp.arange(K))[1]
+
+    add("step w/o augment (gather + clean floats)", noaug_scan,
+        lambda st, k: raw_noaug(st, img, lab, img, lab, sched, k),
+        (state, key))
+
+    # ---- 4-forward VAE proxy (fwd) and its backward. Each pass gets a
+    #      DISTINCT input (like the real step: clean_l, smooth_l, clean_u,
+    #      mixed_u) so XLA cannot CSE the four trunks into one. ----
+    def proxy_loss(p, b, xin, k):
+        ks = jax.random.split(k, 4)
+        tot = jnp.float32(0.0)
+        for j in range(4):
+            xj = xin * (1.0 + 0.01 * j) + 0.01 * j
+            out, b = steps_lib._apply_vae(model, p, b, xj, ks[j])
+            tot = tot + sum(jnp.sum(t.astype(jnp.float32)) for t in out[:4])
+        return tot
+
+    def proxy_fwd_scan():
+        def body(carry, i):
+            xi = xb + carry
+            v = proxy_loss(params, bs, xi, jax.random.fold_in(key, i))
+            return (v * 1e-20).astype(jnp.bfloat16), ()
+        return jax.lax.scan(body, jnp.bfloat16(0.0), jnp.arange(K))[0]
+
+    add("4 full fwd (enc+dec) proxy, value only", proxy_fwd_scan,
+        proxy_loss, (params, bs, xb, key))
+
+    gradfn = jax.grad(proxy_loss)
+
+    def proxy_bwd_scan():
+        def body(carry, i):
+            xi = xb + carry
+            g = gradfn(params, bs, xi, jax.random.fold_in(key, i))
+            lead = jax.tree_util.tree_leaves(g)[0]
+            return (jnp.sum(lead) * 1e-20).astype(jnp.bfloat16), ()
+        return jax.lax.scan(body, jnp.bfloat16(0.0), jnp.arange(K))[0]
+
+    add("4 full fwd+bwd proxy (grad)", proxy_bwd_scan,
+        gradfn, (params, bs, xb, key))
+
+    # ---- encoder forward (x4: the step runs 4 encoder passes) ----
+    def enc_once(p, b, xin):
+        out, _ = model.apply({"params": p, "batch_stats": b}, xin,
+                             train=True, method="encode",
+                             rngs={"sample": key}, mutable=["batch_stats"])
         return out
 
-    add("encoder fwd x4 (trunk+heads)", enc_fwd, params, bs, xb, mult=4.0)
+    def enc_scan():
+        def body(carry, i):
+            xi = xb + carry
+            out = enc_once(params, bs, xi)
+            mean = out[1] if isinstance(out, (tuple, list)) else out
+            return jnp.sum(mean).astype(jnp.bfloat16) * 1e-9, ()
+        return jax.lax.scan(body, jnp.bfloat16(0.0), jnp.arange(K))[0]
 
-    latent = jnp.zeros((B, 138), jnp.bfloat16)
-
-    def dec_fwd(p, b, z):
-        out, mut = model.apply({"params": p, "batch_stats": b}, z,
-                               train=True, method="decode",
-                               mutable=["batch_stats"])
-        return out
-
-    add("decoder fwd x4 (ConvT stack)", dec_fwd, params, bs, latent,
+    add("encoder fwd (trunk+heads) x4", enc_scan, enc_once, (params, bs, xb),
         mult=4.0)
 
-    # ---- input pipeline & update ----
-    def gather_aug(idx, key):
-        im, _ = ds.gather(idx)
-        return augment_batch(key, to_float(im))
+    # ---- decoder forward (x4) ----
+    def dec_once(p, b, z):
+        out, _ = model.apply({"params": p, "batch_stats": b}, z,
+                             train=True, method="decode",
+                             mutable=["batch_stats"])
+        return out
 
-    add("gather + augment (both streams)", gather_aug, idx, key, mult=2.0)
+    def dec_scan():
+        def body(carry, i):
+            zi = latent + carry
+            out = dec_once(params, bs, zi)
+            return jnp.sum(out).astype(jnp.bfloat16) * 1e-9, ()
+        return jax.lax.scan(body, jnp.bfloat16(0.0), jnp.arange(K))[0]
 
-    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    add("decoder fwd (ConvT stack) x4", dec_scan, dec_once,
+        (params, bs, latent), mult=4.0)
 
-    def sgd_update(state, grads):
-        return state.apply_gradients(grads)
+    # ---- gather + augment, both streams ----
+    def ga_once(i, k):
+        im, _ = ds.gather((idx + i) % 4096)
+        return augment_batch(k, to_float(im))
 
-    add("optimizer update (SGD+wd+momentum)", sgd_update, state, grads)
+    def ga_scan():
+        def body(carry, i):
+            out = ga_once(i, jax.random.fold_in(key, i))
+            return carry + jnp.sum(out[:1, :1, :1, :1]), ()
+        return jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))[0]
 
-    print(f"\n{args.net} B={B} (per full step equivalents)")
+    add("gather + augment (both streams)", ga_scan, ga_once, (0, key),
+        mult=2.0)
+
+    # ---- optimizer update ----
+    grads = jax.tree_util.tree_map(lambda t: jnp.ones_like(t) * 1e-8, params)
+
+    def opt_once(st, g):
+        return st.apply_gradients(grads=g)
+
+    def opt_scan():
+        def body(st, i):
+            return opt_once(st, grads), ()
+        return jax.lax.scan(body, state, jnp.arange(K))[0].step
+
+    add("optimizer update (SGD+wd+momentum)", opt_scan, opt_once,
+        (state, grads))
+
+    print(f"\n{args.net} B={B} — device time per full-step equivalent "
+          f"(scan K={K}, median of 5)")
     print(f"{'component':45s} {'ms':>8s} {'TFLOP':>7s} {'TFLOP/s':>8s} "
           f"{'% step':>7s}")
+    t = {name: ms for name, ms, _, _ in rows}
     for name, ms, tf, rate in rows:
         print(f"{name:45s} {ms:8.2f} {tf:7.2f} {rate:8.1f} "
               f"{100 * ms / (t_full * 1e3):6.1f}%")
+    full = t_full * 1e3
+    fwd = t["4 full fwd (enc+dec) proxy, value only"]
+    fb = t["4 full fwd+bwd proxy (grad)"]
+    enc = t["encoder fwd (trunk+heads) x4"]
+    dec = t["decoder fwd (ConvT stack) x4"]
+    opt = t["optimizer update (SGD+wd+momentum)"]
+    gather = full - t["step w/o gather (pre-fetched uint8)"]
+    augment = full - t["step w/o augment (gather + clean floats)"]
+    bwd = fb - fwd
+    print("\nsummary (ms, % of full step; gather/augment by ablation):")
+    for label, v in [
+        ("encoder fwd x4 (isolated)", enc),
+        ("decoder fwd x4 (isolated)", dec),
+        ("backward of the 4 passes (proxy diff)", bwd),
+        ("gather (ablation)", gather),
+        ("augment (ablation)", augment),
+        ("optimizer (isolated)", opt),
+        ("loss math + mixup + rest (residual)",
+         full - enc - dec - bwd - gather - augment - opt)]:
+        print(f"  {label:42s} {v:8.2f}  {100 * v / full:5.1f}%")
 
 
 if __name__ == "__main__":

@@ -58,8 +58,61 @@ class TorchDense(nn.Dense):
 
 
 class TorchConvTranspose(nn.ConvTranspose):
+    """nn.ConvTranspose with torch-default init; k4/s2/SAME runs subpixel.
+
+    ``lax.conv_transpose`` lowers stride-2 upsampling to a conv with
+    ``lhs_dilation=2`` — 3/4 of the MXU multiplies hit interleaved zeros,
+    measured ~11 TFLOP/s on the decoder stack (docs/PERF.md round 2). The
+    upsample factors exactly into FOUR 2x2 sub-kernel convs (one per output
+    parity (a,b): row taps [a, a+2], col taps [b, b+2] of the 4x4 kernel),
+    evaluated here as ONE dense k2 conv with 4x output channels on a
+    (1,1)-padded input, followed by shifted slices + depth-to-space. Same
+    parameters ("kernel" (4,4,in,out), "bias"), same math to float rounding;
+    other kernel/stride/padding combos fall through to flax.
+    """
+
     kernel_init: Callable = torch_default_init
     bias_init: Callable = torch_bias_init
+    subpixel: bool = True
+
+    @nn.compact
+    def __call__(self, inputs):
+        from flax.linen.dtypes import promote_dtype
+        from jax import lax
+
+        k = tuple(self.kernel_size) if not isinstance(self.kernel_size, int) \
+            else (self.kernel_size,) * 2
+        s = tuple(self.strides) if self.strides else (1, 1)
+        if not (self.subpixel and k == (4, 4) and s == (2, 2)
+                and self.padding == "SAME" and not self.transpose_kernel
+                and inputs.ndim == 4):
+            return super().__call__(inputs)
+
+        cin, cout = inputs.shape[-1], self.features
+        kernel = self.param("kernel", self.kernel_init, (4, 4, cin, cout),
+                            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (cout,), self.param_dtype)
+                if self.use_bias else None)
+        inputs, kernel, bias = promote_dtype(inputs, kernel, bias,
+                                             dtype=self.dtype)
+        # (2,2,cin,4*cout): output-channel blocks ordered (a,b) = parity of
+        # the output row/col each block fills
+        subk = jnp.concatenate(
+            [kernel[a::2, b::2] for a in (0, 1) for b in (0, 1)], axis=-1)
+        xp = jnp.pad(inputs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        o = lax.conv_general_dilated(
+            xp, subk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision)
+        b_, h, w = inputs.shape[0], inputs.shape[1], inputs.shape[2]
+        parts = [o[:, a:h + a, b2:w + b2, i * cout:(i + 1) * cout]
+                 for i, (a, b2) in enumerate(
+                     [(0, 0), (0, 1), (1, 0), (1, 1)])]
+        t = jnp.stack(parts, axis=3).reshape(b_, h, w, 2, 2, cout)
+        out = t.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * w, cout)
+        if bias is not None:
+            out = out + bias.reshape((1,) * 3 + (-1,))
+        return out
 
 
 class BatchNorm(nn.Module):

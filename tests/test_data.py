@@ -147,3 +147,46 @@ class TestPipeline:
         for _ in range(6):
             b = next(it)
             assert sorted(b) == [0, 1, 2, 3]
+
+
+class TestAugmentOneHotCrop:
+    """The MXU one-hot crop must stay bit-exact vs the slice formulation.
+
+    augment_batch implements the per-sample random crop as two batched
+    one-hot matmuls (22 ms -> 1.7 ms per stream at B=768 on v5e, docs/
+    PERF.md round 2); this pins its output to the reference dynamic_slice
+    semantics with identical keys.
+    """
+
+    @staticmethod
+    def _augment_slice(key, images, pad=4, crop=32, flip=True):
+        b, h, w, c = images.shape
+        key_y, key_x, key_f = jax.random.split(key, 3)
+        padded = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                         mode="reflect")
+        off_y = jax.random.randint(key_y, (b,), 0, h + 2 * pad - crop + 1)
+        off_x = jax.random.randint(key_x, (b,), 0, w + 2 * pad - crop + 1)
+        out = jax.vmap(
+            lambda img, oy, ox: jax.lax.dynamic_slice(
+                img, (oy, ox, 0), (crop, crop, c)))(padded, off_y, off_x)
+        if flip:
+            do_flip = jax.random.bernoulli(key_f, 0.5, (b, 1, 1, 1))
+            out = jnp.where(do_flip, out[:, :, ::-1, :], out)
+        return out
+
+    def test_bit_exact_vs_dynamic_slice(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.integers(0, 256, (16, 32, 32, 3)).astype(np.float32) / 255.0)
+        key = jax.random.key(7)
+        assert bool(jnp.all(augment_batch(key, x)
+                            == self._augment_slice(key, x)))
+
+    def test_bit_exact_mnist_28_to_32(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.integers(0, 256, (8, 28, 28, 1)).astype(np.float32) / 255.0)
+        key = jax.random.key(3)
+        got = augment_batch(key, x)
+        assert got.shape == (8, 32, 32, 1)
+        assert bool(jnp.all(got == self._augment_slice(key, x)))

@@ -219,3 +219,41 @@ class TestClassifier:
         # fc untouched
         np.testing.assert_array_equal(np.asarray(v["params"]["fc"]["kernel"]),
                                       np.asarray(new_params["fc"]["kernel"]))
+
+
+class TestSubpixelConvTranspose:
+    """k4/s2/SAME ConvTranspose runs as a dense subpixel conv (layers.py).
+
+    Pins forward and gradient equivalence with flax's lax.conv_transpose
+    path on the same parameters — the decomposition must stay exact to
+    float rounding for checkpoint/import compatibility.
+    """
+
+    def test_forward_and_grad_match_flax(self):
+        from shotvae_tpu.models.layers import TorchConvTranspose
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+        new = TorchConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME")
+        old = TorchConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
+                                 subpixel=False)
+        v = new.init(jax.random.key(0), x)
+        np.testing.assert_allclose(np.asarray(new.apply(v, x)),
+                                   np.asarray(old.apply(v, x)),
+                                   rtol=1e-5, atol=1e-5)
+        ga = jax.grad(lambda p: jnp.sum(new.apply(p, x) ** 2))(v)
+        gb = jax.grad(lambda p: jnp.sum(old.apply(p, x) ** 2))(v)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_fallthrough_paths_unchanged(self):
+        from shotvae_tpu.models.layers import TorchConvTranspose
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 1, 1, 12)).astype(np.float32))
+        # the decoder's stage-0 VALID ConvT must keep using flax
+        m = TorchConvTranspose(64, (1, 1), strides=(1, 1), padding="VALID")
+        v = m.init(jax.random.key(0), x)
+        assert m.apply(v, x).shape == (2, 1, 1, 64)
