@@ -16,7 +16,7 @@ unlabeled image (12 WRN-28-2-VAE forward-equivalents per iteration, matches
 the XLA-measured 4.6 TFLOP/step), era 2-GPU hardware at realistic cuDNN
 utilisation and nn.DataParallel scaling => 570-1130 img/s; 900 is the
 mid-range. Break-even: >=5x holds for any reference <= measured_value/5
-(~1460 img/s at the current 7300), above even the free-input-pipeline
+(~2300 img/s at the current 11500), above even the free-input-pipeline
 ceiling of the realistic range. vs_baseline = value / REF_ESTIMATE.
 
 Env overrides for the other BASELINE.json configs (docs/PERF.md table):
