@@ -53,7 +53,7 @@ class SmoothVAE(nn.Module):
         return self.latent_cont_dim + sum(self.disc_dims)
 
     @nn.compact
-    def __call__(self, x, labels=None, train: bool = True):
+    def __call__(self, x, labels=None, train: bool = True, noise=None):
         batch = x.shape[0]
         h = x.astype(self.dtype or jnp.float32)
         for i, ch in enumerate(self.encoder_channels):
@@ -75,12 +75,19 @@ class SmoothVAE(nn.Module):
         parts = []
         disc_samples = []
         if train:
+            # ``noise`` optionally injects pre-drawn randomness ({"eps": arr,
+            # "unif": [arr per disc var]}) for the cross-framework lockstep
+            # tests; None (default) draws from the "sample" rng stream.
+            nz = noise or {}
             key = self.make_rng("sample")
             key_z, *keys_y = jax.random.split(key, 1 + len(alphas))
-            parts.append(sampling.sample_gaussian_logvar(key_z, mean, logvar))
+            parts.append(sampling.sample_gaussian_logvar(
+                key_z, mean, logvar, eps=nz.get("eps")))
+            unifs = nz.get("unif") or [None] * len(alphas)
             disc_samples = [
-                sampling.sample_gumbel_softmax_probs(k, a, self.temperature)
-                for k, a in zip(keys_y, alphas)
+                sampling.sample_gumbel_softmax_probs(k, a, self.temperature,
+                                                     unif=u)
+                for k, a, u in zip(keys_y, alphas, unifs)
             ]
         else:
             parts.append(mean)

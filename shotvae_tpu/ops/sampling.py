@@ -26,10 +26,14 @@ def sample_gaussian(key, mean, log_sigma, *, eps=None):
     return mean + jnp.exp(log_sigma) * eps.astype(mean.dtype)
 
 
-def sample_gaussian_logvar(key, mean, logvar):
-    """z = mu + exp(0.5*logvar) * eps — smooth-VAE convention (mnist_vae.py:192-208)."""
-    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
-    return mean + jnp.exp(0.5 * logvar) * eps
+def sample_gaussian_logvar(key, mean, logvar, *, eps=None):
+    """z = mu + exp(0.5*logvar) * eps — smooth-VAE convention (mnist_vae.py:192-208).
+
+    ``eps`` overrides the gaussian draw (deterministic replay / lockstep).
+    """
+    if eps is None:
+        eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    return mean + jnp.exp(0.5 * logvar) * eps.astype(mean.dtype)
 
 
 def sample_gumbel_softmax(key, log_alpha, temperature, *, unif=None):
@@ -46,9 +50,10 @@ def sample_gumbel_softmax(key, log_alpha, temperature, *, unif=None):
     return jnn.softmax((log_alpha + gumbel) / temperature, axis=1)
 
 
-def sample_gumbel_softmax_probs(key, alpha, temperature):
+def sample_gumbel_softmax_probs(key, alpha, temperature, *, unif=None):
     """Gumbel-softmax from probabilities (smooth-VAE convention, mnist_vae.py:210-228)."""
-    return sample_gumbel_softmax(key, jnp.log(alpha + GUMBEL_EPS), temperature)
+    return sample_gumbel_softmax(key, jnp.log(alpha + GUMBEL_EPS), temperature,
+                                 unif=unif)
 
 
 def label_onehot(labels, num_classes: int, dtype=jnp.float32):

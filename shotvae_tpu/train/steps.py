@@ -543,8 +543,9 @@ def make_smooth_elbo_train_step(model, *, alpha: float, cont_capacity,
 
     disc_theoretical_max = float(sum(np.log(d) for d in disc_dims))
 
-    def one_loss(params, bs, key, x, labels, step):
-        (recon, dist, _, _), bs = _smooth_apply(params, bs, x, key, labels)
+    def one_loss(params, bs, key, x, labels, step, noise=None):
+        (recon, dist, _, _), bs = _smooth_apply(params, bs, x, key, labels,
+                                                noise)
         r = losses.smooth_recon_loss(x, recon)
         mean, logvar = dist["cont"]
         kl_cont, kl_cont_per_dim = losses.kl_normal_loss(mean, logvar)
@@ -565,19 +566,21 @@ def make_smooth_elbo_train_step(model, *, alpha: float, cont_capacity,
         return loss, (bs, r, cont_cap_loss, disc_cap_loss, cls,
                       kl_cont, kl_cont_per_dim, kl_disc)
 
-    def _smooth_apply(params, bs, x, key, labels):
+    def _smooth_apply(params, bs, x, key, labels, noise=None):
         out, updates = model.apply(
             {"params": params, "batch_stats": bs}, x, labels=labels,
-            train=True, rngs={"sample": key}, mutable=["batch_stats"])
+            train=True, noise=noise, rngs={"sample": key},
+            mutable=["batch_stats"])
         return out, updates.get("batch_stats", bs)
 
-    def loss_fn(params, batch_stats, key, x_u, x_l, lab_l, step):
+    def loss_fn(params, batch_stats, key, x_u, x_l, lab_l, step, inject=None):
         k_u, k_l = jax.random.split(key)
         bs = batch_stats
+        inj = inject or {}
         loss_u, (bs, r_u, cc_u, dc_u, _, klc_u, klc_dim_u, kld_u) = one_loss(
-            params, bs, k_u, x_u, None, step)
+            params, bs, k_u, x_u, None, step, noise=inj.get("u"))
         loss_l, (bs, r_l, cc_l, dc_l, cls, _, _, _) = one_loss(
-            params, bs, k_l, x_l, lab_l, step)
+            params, bs, k_l, x_l, lab_l, step, noise=inj.get("l"))
         total = loss_u + loss_l
         metrics = {
             "loss": total,
@@ -591,13 +594,13 @@ def make_smooth_elbo_train_step(model, *, alpha: float, cont_capacity,
         }
         return total, (bs, metrics)
 
-    def step(state: TrainState, img_u, img_l, lab_l, key):
+    def step(state: TrainState, img_u, img_l, lab_l, key, inject=None):
         x_u = to_float(img_u, normalize=True)
         x_l = to_float(img_l, normalize=True)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, key, x_u, x_l, lab_l,
-            state.step + 1)
+            state.step + 1, inject)
         return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
 
     return step

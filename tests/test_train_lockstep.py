@@ -463,3 +463,151 @@ class TestClassifierLockstep:
             dp, ds = _compare_with_torch(torch, ref, state, "classifier", it)
             print(f"cls step {it}: loss Δ={abs(our_loss - float(loss_t)):.2e}"
                   f" param Δ={dp:.2e} stat Δ={ds:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# smooth-ELBO (main_smooth_ELBO_mnist.py:131-341) — the Adam trainer
+# ---------------------------------------------------------------------------
+
+SM_EPS = 1e-12           # mnist_vae.py:6
+SM_CONT_CAP = (0.0, 17.5, 25000.0, 30.0)   # main args defaults
+SM_DISC_CAP = (0.0, 17.0, 25000.0, 30.0)
+SM_ALPHA = 50.0
+SM_LR = 5e-4
+SM_CONT, SM_K = 10, 10
+
+
+def _ref_smooth_module():
+    return _fresh_ref_import("smooth_vae_model", "mnist_vae", ["svhn_vae"])
+
+
+def _torch_smooth_forward(torch, ref, x, eps, unif=None, onehot=None):
+    """mnist_vae.py:256-267 with reparameterize inlined (labeled path
+    hardcodes .cuda(), mnist_vae.py:175)."""
+    dist = ref.encode(x)
+    mean, logvar = dist["cont"]
+    z = mean + torch.exp(0.5 * logvar) * eps              # :187-205
+    if onehot is not None:                                 # :169-178
+        y = onehot
+    else:                                                  # :210-229
+        gumbel = -torch.log(-torch.log(unif + SM_EPS) + SM_EPS)
+        y = torch.softmax((torch.log(dist["disc"][0] + SM_EPS) + gumbel)
+                          / ref.temperature, dim=1)
+    recon = ref.decode(torch.cat([z, y], dim=1))
+    return recon, dist
+
+
+def _torch_smooth_loss(torch, x, recon, dist, num_steps, onehot=None):
+    """_loss_function (main_smooth_ELBO_mnist.py:228-302) re-evaluated."""
+    F = torch.nn.functional
+    P = x.numel() // x.size(0)
+    recon_loss = F.mse_loss(recon.view(-1, P), x.view(-1, P)) * P
+    mean, logvar = dist["cont"]
+    kl_values = -0.5 * (1 + logvar - mean.pow(2) - logvar.exp())
+    kl_cont = torch.sum(torch.mean(kl_values, dim=0))
+    c_min, c_max, c_iters, c_gamma = SM_CONT_CAP
+    c_cap = min((c_max - c_min) * num_steps / c_iters + c_min, c_max)
+    cont_cap_loss = c_gamma * torch.abs(c_cap - kl_cont)
+    alpha = dist["disc"][0]
+    neg_ent = torch.mean(torch.sum(alpha * torch.log(alpha + SM_EPS), dim=1))
+    kl_disc = math.log(SM_K) + neg_ent
+    d_min, d_max, d_iters, d_gamma = SM_DISC_CAP
+    d_cap = min((d_max - d_min) * num_steps / d_iters + d_min, d_max,
+                math.log(SM_K))
+    disc_cap_loss = d_gamma * torch.abs(d_cap - kl_disc)
+    loss = recon_loss + cont_cap_loss + disc_cap_loss
+    if onehot is not None:
+        loss = loss + SM_ALPHA * F.binary_cross_entropy(alpha, onehot)
+    return loss
+
+
+class TestSmoothElboLockstep:
+    def test_five_steps_match_reference(self, torch):
+        ref_mod = _ref_smooth_module()
+
+        from shotvae_tpu.io.torch_compat import (import_smooth_vae_state_dict,
+                                                 merge_imported)
+        from shotvae_tpu.models import SmoothVAE, mnist_vae_config
+        from shotvae_tpu.train import steps as steps_lib
+        from shotvae_tpu.train.state import TrainState, adam_torch, init_model
+
+        torch.manual_seed(4)
+        ref = ref_mod.mnist_VAE(
+            img_size=(1, 32, 32),
+            latent_spec={"cont": SM_CONT, "disc": [SM_K]},
+            temperature=T, use_cuda=False)
+        ref.train()
+        opt = torch.optim.Adam(ref.parameters(), lr=SM_LR)
+
+        model = SmoothVAE(**mnist_vae_config())
+        params, stats = init_model(model, jax.random.key(5),
+                                   jnp.zeros((1, 32, 32, 1)))
+
+        def import_ref(template_p, template_s):
+            ip, istats = import_smooth_vae_state_dict(
+                {k: v for k, v in ref.state_dict().items()})
+            return merge_imported(template_p, template_s, ip, istats)
+
+        p0, s0 = import_ref(params, stats)
+        state = TrainState.create(apply_fn=model.apply, params=p0,
+                                  batch_stats=s0, tx=adam_torch(SM_LR))
+
+        raw_step = steps_lib.make_smooth_elbo_train_step(
+            model, alpha=SM_ALPHA, cont_capacity=SM_CONT_CAP,
+            disc_capacity=SM_DISC_CAP, disc_dims=(SM_K,))
+        step_jit = jax.jit(raw_step)
+
+        rng = np.random.default_rng(11)
+        img_u = rng.integers(0, 256, (B, 32, 32, 1)).astype(np.uint8)
+        img_l = rng.integers(0, 256, (B, 32, 32, 1)).astype(np.uint8)
+        lab_l = rng.integers(0, SM_K, (B,)).astype(np.int32)
+        # ToTensor + Normalize(0.5): [-1, 1]. Built NCHW-NATIVE: a permuted
+        # C=1 NHWC tensor is classified channels-last by torch, flipping the
+        # conv output layout and breaking the reference's .view()
+        x_u_t = torch.from_numpy(
+            np.ascontiguousarray(img_u.transpose(0, 3, 1, 2))
+            .astype(np.float32) / 255.0) * 2.0 - 1.0
+        x_l_t = torch.from_numpy(
+            np.ascontiguousarray(img_l.transpose(0, 3, 1, 2))
+            .astype(np.float32) / 255.0) * 2.0 - 1.0
+        onehot_t = _onehot(torch, torch.tensor(lab_l.astype(np.int64)))
+
+        for it in range(N_STEPS):
+            eps_u = rng.standard_normal((B, SM_CONT)).astype(np.float32)
+            unif_u = rng.uniform(1e-4, 1 - 1e-4,
+                                 (B, SM_K)).astype(np.float32)
+            eps_l = rng.standard_normal((B, SM_CONT)).astype(np.float32)
+            num_steps = it + 1   # self.num_steps += 1 before the losses
+
+            recon_u, dist_u = _torch_smooth_forward(
+                torch, ref, x_u_t, torch.tensor(eps_u),
+                unif=torch.tensor(unif_u))
+            loss_u = _torch_smooth_loss(torch, x_u_t, recon_u, dist_u,
+                                        num_steps)
+            recon_l, dist_l = _torch_smooth_forward(
+                torch, ref, x_l_t, torch.tensor(eps_l), onehot=onehot_t)
+            loss_l = _torch_smooth_loss(torch, x_l_t, recon_l, dist_l,
+                                        num_steps, onehot=onehot_t)
+            loss_t = loss_u + loss_l
+            opt.zero_grad()
+            loss_t.backward()
+            opt.step()
+
+            inject = {"u": {"eps": jnp.asarray(eps_u),
+                            "unif": [jnp.asarray(unif_u)]},
+                      "l": {"eps": jnp.asarray(eps_l)}}
+            state, metrics = step_jit(state, jnp.asarray(img_u),
+                                      jnp.asarray(img_l), jnp.asarray(lab_l),
+                                      jax.random.key(it), inject)
+            our_loss = float(metrics["loss"])
+            ref_loss = float(loss_t.detach())
+            assert np.isclose(our_loss, ref_loss, rtol=2e-3, atol=2e-3), (
+                f"step {it}: loss {our_loss} vs torch {ref_loss}")
+
+            want_p, _ = import_ref(state.params, state.batch_stats)
+            dp = max(float(jnp.max(jnp.abs(g - w))) for g, w in zip(
+                jax.tree_util.tree_leaves(state.params),
+                jax.tree_util.tree_leaves(want_p)))
+            assert dp < 6e-3, f"step {it}: param max diff {dp}"
+            print(f"smooth step {it}: loss Δ={abs(our_loss - ref_loss):.2e} "
+                  f"param Δ={dp:.2e}")
