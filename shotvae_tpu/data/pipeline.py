@@ -61,30 +61,33 @@ def augment_batch(key, images, *, pad: int = 4, crop: int = 32,
     vectorised and jit-compatible; MNIST's 28x28 inputs come out 32x32 like
     the reference's pad-then-crop does.
 
-    The per-sample crop is two batched ONE-HOT MATMULS (row-select then
-    col-select) rather than a vmapped ``dynamic_slice``: batch-varying slice
-    starts lower to a per-sample gather HLO, which measured ~22 ms/stream at
-    B=768 on v5e — 40%+ of the whole SHOT train step — while the one-hot
-    selection runs on the MXU in <1 ms (docs/PERF.md round 2). Bit-exact vs
-    the slice formulation: each output element is 1.0*v + 0.0*rest in f32.
+    The per-sample crop SELECTS among the (2*pad+1) static row shifts and
+    then the static col shifts with ``jnp.where`` chains, instead of a
+    vmapped ``dynamic_slice``: batch-varying slice starts lower to a
+    per-sample gather HLO, which measured ~22 ms/stream at B=768 on v5e —
+    40%+ of the whole SHOT train step — while the select chains fuse into
+    one elementwise pass (~1.5 ms/stream, docs/PERF.md round 2). Bit-exact
+    vs the slice formulation on every backend (pure data movement — unlike
+    a one-hot-matmul crop, which TPU matmul precision silently rounds
+    through bfloat16).
     """
     b, h, w, c = images.shape
     key_y, key_x, key_f = jax.random.split(key, 3)
     padded = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                      mode="reflect")
-    max_off_y = h + 2 * pad - crop
-    max_off_x = w + 2 * pad - crop
-    off_y = jax.random.randint(key_y, (b,), 0, max_off_y + 1)
-    off_x = jax.random.randint(key_x, (b,), 0, max_off_x + 1)
+    n_off_y = h + 2 * pad - crop + 1
+    n_off_x = w + 2 * pad - crop + 1
+    off_y = jax.random.randint(key_y, (b,), 0, n_off_y)
+    off_x = jax.random.randint(key_x, (b,), 0, n_off_x)
 
-    sel_y = jax.nn.one_hot(off_y[:, None] + jnp.arange(crop)[None, :],
-                           h + 2 * pad, dtype=padded.dtype)   # (b, crop, H)
-    sel_x = jax.nn.one_hot(off_x[:, None] + jnp.arange(crop)[None, :],
-                           w + 2 * pad, dtype=padded.dtype)   # (b, crop, W)
-    out = jnp.einsum("bih,bhwc->biwc", sel_y, padded,
-                     preferred_element_type=padded.dtype)
-    out = jnp.einsum("bjw,biwc->bijc", sel_x, out,
-                     preferred_element_type=padded.dtype)
+    rows = padded[:, 0:crop]
+    for k in range(1, n_off_y):
+        rows = jnp.where((off_y == k)[:, None, None, None],
+                         padded[:, k:k + crop], rows)
+    out = rows[:, :, 0:crop]
+    for k in range(1, n_off_x):
+        out = jnp.where((off_x == k)[:, None, None, None],
+                        rows[:, :, k:k + crop], out)
     if flip:
         do_flip = jax.random.bernoulli(key_f, 0.5, (b, 1, 1, 1))
         out = jnp.where(do_flip, out[:, :, ::-1, :], out)

@@ -149,13 +149,14 @@ class TestPipeline:
             assert sorted(b) == [0, 1, 2, 3]
 
 
-class TestAugmentOneHotCrop:
-    """The MXU one-hot crop must stay bit-exact vs the slice formulation.
+class TestAugmentCropEquivalence:
+    """The fused select-chain crop must stay bit-exact vs the slice form.
 
-    augment_batch implements the per-sample random crop as two batched
-    one-hot matmuls (22 ms -> 1.7 ms per stream at B=768 on v5e, docs/
-    PERF.md round 2); this pins its output to the reference dynamic_slice
-    semantics with identical keys.
+    augment_batch implements the per-sample random crop as jnp.where
+    chains over the static shifts (22 ms -> 1.5 ms per stream at B=768 on
+    v5e, docs/PERF.md round 2 — and, unlike a one-hot-matmul crop, exact
+    under TPU matmul precision); this pins its output to the reference
+    dynamic_slice semantics with identical keys.
     """
 
     @staticmethod
