@@ -150,3 +150,18 @@ class TestReduceLROnPlateauThreshold:
             tsched.step(m)
             scale = ours.step(m)
             assert scale == pytest.approx(opt.param_groups[0]["lr"]), m
+
+
+class TestCifar100Loop:
+    def test_one_epoch_100_classes(self, tmp_base):
+        # 100-way heads + the CIFAR-100 config overrides (dmi=4.6, akb/apw)
+        # + the top-5 eval path through the full epoch driver
+        cfg = _tiny_cfg(tmp_base, dataset="Cifar100", synthetic_size=2048,
+                        valid_per_class=2, annotated_per_class=2)
+        out = run_shot_vae(cfg, max_epochs=1, log_fn=lambda *a: None)
+        # in-main override parity applied by the driver (main_shot_vae.py:161-163)
+        assert cfg.dmi == 4.6 and cfg.akb == 150
+        assert len(out["history"]) == 1
+        h = out["history"][0]
+        assert 0.0 <= h["valid_top1"] <= 1.0
+        assert 0.0 <= h["test_top1"] <= 1.0
