@@ -191,3 +191,22 @@ class TestAugmentCropEquivalence:
         got = augment_batch(key, x)
         assert got.shape == (8, 32, 32, 1)
         assert bool(jnp.all(got == self._augment_slice(key, x)))
+
+
+class TestAugmentStaysGatherFree:
+    def test_no_gather_in_lowered_hlo(self):
+        """The crop must never regress to a per-sample gather.
+
+        vmap(dynamic_slice) with batch-varying starts lowers to a gather
+        HLO that cost ~22 ms/stream on v5e (43% of the SHOT step,
+        docs/PERF.md round 2); the select-chain formulation lowers to pure
+        selects. Pin that property at the HLO level.
+        """
+        import re
+
+        x = jnp.zeros((16, 32, 32, 3), jnp.float32)
+        txt = (jax.jit(augment_batch)
+               .lower(jax.random.key(0), x)
+               .compiler_ir(dialect="hlo").as_hlo_text())
+        gathers = [l for l in txt.splitlines() if re.search(r"\bgather\(", l)]
+        assert not gathers, f"augment_batch lowers to gather: {gathers[:2]}"
