@@ -178,7 +178,10 @@ def _smooth_bench(svhn: bool):
     metric = f"smooth_elbo_{name}_unlabeled_images_per_sec_per_chip"
     global BATCH
     BATCH = bu
-    return state, one_step, dp.num_devices, metric, False
+    # the smooth trainer runs single-device (plain jit, unreplicated state;
+    # the reference smooth scripts are single-GPU too) — report n_chips=1 so
+    # per-chip throughput stays correct on multi-chip hosts
+    return state, one_step, 1, metric, False
 
 
 def main():

@@ -25,6 +25,24 @@ B, H, W, C, PAD, CROP = 768, 32, 32, 3, 4, 32
 
 
 def v0_vmap_dynamic_slice(key, img_u8):
+    # the ORIGINAL round-1 formulation, inlined: augment_batch no longer
+    # uses it (rewritten to select chains in round 2), so the ~22 ms
+    # gather baseline stays reproducible here
+    from shotvae_tpu.data.pipeline import to_float
+
+    x = to_float(img_u8)
+    key_y, key_x, key_f = jax.random.split(key, 3)
+    padded = jnp.pad(x, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)),
+                     mode="reflect")
+    off_y = jax.random.randint(key_y, (B,), 0, H + 2 * PAD - CROP + 1)
+    off_x = jax.random.randint(key_x, (B,), 0, W + 2 * PAD - CROP + 1)
+    out = jax.vmap(lambda img, oy, ox: jax.lax.dynamic_slice(
+        img, (oy, ox, 0), (CROP, CROP, C)))(padded, off_y, off_x)
+    do_flip = jax.random.bernoulli(key_f, 0.5, (B, 1, 1, 1))
+    return jnp.where(do_flip, out[:, :, ::-1, :], out)
+
+
+def v4_production(key, img_u8):
     from shotvae_tpu.data.pipeline import augment_batch, to_float
 
     return augment_batch(key, to_float(img_u8))
@@ -96,7 +114,8 @@ def main():
     for name, fn in [("v0_vmap_dslice", v0_vmap_dynamic_slice),
                      ("v1_flat_gather", v1_flat_gather),
                      ("v2_two_gathers", v2_two_gathers),
-                     ("v3_onehot_matmul", v3_onehot_matmul)]:
+                     ("v3_onehot_matmul", v3_onehot_matmul),
+                     ("v4_production_select", v4_production)]:
         jitted = jax.jit(fn)
         dt = timeit(jitted, key, img)
         print(f"{name}: {dt * 1e3:.2f} ms")

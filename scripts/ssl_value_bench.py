@@ -56,6 +56,7 @@ def write_cifar_format(base_path, train, test):
     os.makedirs(root, exist_ok=True)
     (xtr, ytr), (xte, yte) = train, test
     per = len(ytr) // 5
+    written = 5 * per  # trailing len%5 samples are dropped by the 5-batch split
 
     def dump(path, x, y):
         flat = x.transpose(0, 3, 1, 2).reshape(len(y), -1)
@@ -66,6 +67,7 @@ def write_cifar_format(base_path, train, test):
         sl = slice(i * per, (i + 1) * per)
         dump(os.path.join(root, f"data_batch_{i + 1}"), xtr[sl], ytr[sl])
     dump(os.path.join(root, "test_batch"), xte, yte)
+    return written
 
 
 def main(argv=None):
@@ -83,7 +85,7 @@ def main(argv=None):
 
     bp = tempfile.mkdtemp(prefix="ssl_value_")
     train, test = make_hard_synthetic(args.n_train)
-    write_cifar_format(bp, train, test)
+    n_written = write_cifar_format(bp, train, test)
 
     common = dict(
         base_path=bp, dataset="Cifar10", net_name=args.net_name,
@@ -105,7 +107,7 @@ def main(argv=None):
     print(json.dumps({
         "metric": "ssl_value_synthetic_test_top1",
         "labels": args.labels_per_class * 10,
-        "unlabeled": args.n_train,
+        "unlabeled": n_written,
         "epochs": args.epochs,
         "classifier_top1": round(cls_acc, 4),
         "shot_vae_top1": round(shot_acc, 4),

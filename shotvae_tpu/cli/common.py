@@ -153,7 +153,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         help="stop after N epochs (debug/smoke)")
     parser.add_argument("--ckpt-every", default=1, type=int,
                         help="checkpoint cadence in epochs (default 1, "
-                             "reference parity)")
+                             "reference parity; 0 or negative DISABLES all "
+                             "checkpointing incl. best/final — benchmarks "
+                             "and smoke runs)")
     parser.add_argument("--profile-dir", default="", type=str,
                         help="write a jax.profiler trace of one epoch here")
     parser.add_argument("--multihost", action="store_true",

@@ -83,9 +83,12 @@ class TorchConvTranspose(nn.ConvTranspose):
         k = tuple(self.kernel_size) if not isinstance(self.kernel_size, int) \
             else (self.kernel_size,) * 2
         s = tuple(self.strides) if self.strides else (1, 1)
+        kd = self.kernel_dilation
+        no_dilation = kd is None or all(d == 1 for d in (
+            (kd,) * 2 if isinstance(kd, int) else tuple(kd)))
         if not (self.subpixel and k == (4, 4) and s == (2, 2)
                 and self.padding == "SAME" and not self.transpose_kernel
-                and inputs.ndim == 4):
+                and no_dilation and inputs.ndim == 4):
             return super().__call__(inputs)
 
         cin, cout = inputs.shape[-1], self.features

@@ -80,10 +80,13 @@ def mixup_vae_data(key, image, z_mean, z_log_sigma, disc_log_alpha, *,
     key_lam, key_perm = jax.random.split(key)
     if lam is None:
         lam = jax.random.beta(key_lam, 2.0, 2.0, dtype=jnp.float32)
-    if optimal_match:
-        index = optimal_match_index(z_mean, z_log_sigma)
-    elif index is None:
-        index = jax.random.permutation(key_perm, image.shape[0])
+    if index is None:
+        # an injected ``index`` wins even under optimal_match — replay must
+        # pin the partner, never silently recompute it
+        if optimal_match:
+            index = optimal_match_index(z_mean, z_log_sigma)
+        else:
+            index = jax.random.permutation(key_perm, image.shape[0])
     return _interpolate(image, z_mean, z_log_sigma, disc_log_alpha, index, lam,
                         labels=None)
 

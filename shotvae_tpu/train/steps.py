@@ -81,8 +81,9 @@ def _cross_replica(grads, new_bs, metrics, axis_name, bn_stats):
 def _inject_noise(inject, eps_key, unif_key=None):
     """Assemble the per-forward ``noise`` dict from a replay-injection dict.
 
-    ``inject`` maps draw-site names (eps_1..eps_4, unif_3/unif_4, lam_sm,
-    perm_sm, lam_mx, perm_mx) to pre-drawn arrays; used by the
+    ``inject`` maps draw-site names (SHOT: eps_1..eps_4, unif_3/unif_4,
+    lam_sm, perm_sm, lam_mx, perm_mx; M2: eps_1/eps_2, unif_2) to
+    pre-drawn arrays; used by the
     cross-framework lockstep tests to feed IDENTICAL randomness to this step
     and the torch reference. None (the default everywhere) draws normally.
     """
