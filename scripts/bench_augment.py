@@ -1,4 +1,12 @@
-"""Microbenchmark of augmentation formulations on the real chip (dev tool)."""
+"""Microbenchmark of augmentation formulations on the real chip (dev tool).
+
+Each arm is timed as K iterations of a ``lax.scan`` inside one jitted
+program — the cost that matters is the arm's cost INSIDE a larger compiled
+program (the production step), and isolated per-call timing is doubly
+misleading here: the tunnel has a multi-ms dispatch floor, and XLA lays
+out/fuses a lone gather very differently than one embedded in a training
+step (a lone v0 gather measures ~0.06 ms per call; embedded, ~22 ms).
+"""
 
 import sys
 import time
@@ -10,15 +18,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+K_SCAN = 20
+
+
+def timeit(fn, key, img_u8, n=5):
+    """Median per-iteration device time of a K_SCAN-long scan of fn."""
+    def scan():
+        def body(carry, i):
+            out = fn(jax.random.fold_in(key, i), img_u8)
+            return carry + jnp.sum(out[:1, :1, :1, :1]), ()
+        return jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_SCAN))[0]
+    jitted = jax.jit(scan)
+    jax.block_until_ready(jitted())
+    ts = []
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        jax.block_until_ready(jitted())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K_SCAN
 
 
 B, H, W, C, PAD, CROP = 768, 32, 32, 3, 4, 32
