@@ -98,9 +98,12 @@ def main():
         optimal_match=False)
 
     def full_once(state, i, k):
-        ii = (idx + i) % 4096
-        img_l, lab_l = ds.gather(ii)
-        img_u, lab_u = ds.gather(ii)
+        # DISTINCT indices per stream: with identical clean inputs XLA CSEs
+        # the labeled and unlabeled trunk forwards in the no-augment ablation
+        # (measured: exactly one trunk-fwd of FLOPs vanishes), which would
+        # overstate the augment cost by a full forward pass
+        img_l, lab_l = ds.gather((idx + i) % 4096)
+        img_u, lab_u = ds.gather((idx + i + 1024) % 4096)
         return raw(state, img_l, lab_l, img_u, lab_u, sched, k)
 
     def full_scan():
@@ -114,15 +117,17 @@ def main():
 
     # ---- ablation: same step on pre-gathered inputs (gather cost by diff;
     #      the augment still runs — it lives INSIDE the jitted step) ----
+    img2, lab2 = ds.gather((idx + 1024) % 4096)
+
     def nogather_scan():
         def body(st, i):
-            st, m = raw(st, img, lab, img, lab, sched,
+            st, m = raw(st, img, lab, img2, lab2, sched,
                         jax.random.fold_in(key, i))
             return st, m["loss"]
         return jax.lax.scan(body, state, jnp.arange(K))[1]
 
     add("step w/o gather (pre-fetched uint8)", nogather_scan,
-        lambda st, k: raw(st, img, lab, img, lab, sched, k), (state, key))
+        lambda st, k: raw(st, img, lab, img2, lab2, sched, k), (state, key))
 
     # ---- ablation: augment disabled inside the step ----
     raw_noaug = steps_lib.make_shot_vae_train_step(
@@ -132,15 +137,15 @@ def main():
 
     def noaug_scan():
         def body(st, i):
-            ii = (idx + i) % 4096
-            img_l, lab_l = ds.gather(ii)
-            st, m = raw_noaug(st, img_l, lab_l, img_l, lab_l, sched,
+            img_l, lab_l = ds.gather((idx + i) % 4096)
+            img_u, lab_u = ds.gather((idx + i + 1024) % 4096)
+            st, m = raw_noaug(st, img_l, lab_l, img_u, lab_u, sched,
                               jax.random.fold_in(key, i))
             return st, m["loss"]
         return jax.lax.scan(body, state, jnp.arange(K))[1]
 
     add("step w/o augment (gather + clean floats)", noaug_scan,
-        lambda st, k: raw_noaug(st, img, lab, img, lab, sched, k),
+        lambda st, k: raw_noaug(st, img, lab, img2, lab2, sched, k),
         (state, key))
 
     # ---- 4-forward VAE proxy (fwd) and its backward. Each pass gets a
