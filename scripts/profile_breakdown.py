@@ -155,9 +155,16 @@ def main():
         ks = jax.random.split(k, 4)
         tot = jnp.float32(0.0)
         for j in range(4):
-            xj = xin * (1.0 + 0.01 * j) + 0.01 * j
+            # NONLINEAR per-pass transform: conv is linear, so any affine
+            # relation between passes lets XLA share one trunk (measured:
+            # an affine proxy "ran" at an impossible 230+ TFLOP/s)
+            xj = jnp.tanh(xin * (1.0 + 0.1 * j))
             out, b = steps_lib._apply_vae(model, p, b, xj, ks[j])
-            tot = tot + sum(jnp.sum(t.astype(jnp.float32)) for t in out[:4])
+            # squared outputs: a plain sum gives ALL-ONES cotangents, and
+            # XLA algebraically collapses transposed convs with constant
+            # cotangents (measured: an impossible 230 TFLOP/s "backward")
+            tot = tot + sum(jnp.sum(jnp.square(t.astype(jnp.float32)))
+                            for t in out[:4])
         return tot
 
     def proxy_fwd_scan():
@@ -176,8 +183,12 @@ def main():
         def body(carry, i):
             xi = xb + carry
             g = gradfn(params, bs, xi, jax.random.fold_in(key, i))
-            lead = jax.tree_util.tree_leaves(g)[0]
-            return (jnp.sum(lead) * 1e-20).astype(jnp.bfloat16), ()
+            # consume EVERY gradient leaf — keeping only leaves[0] lets XLA
+            # dead-code-eliminate most of the backward (measured: an
+            # impossible 237 TFLOP/s with a 2.5 ms "backward")
+            tot = sum(jnp.sum(t.astype(jnp.float32))
+                      for t in jax.tree_util.tree_leaves(g))
+            return (tot * 1e-20).astype(jnp.bfloat16), ()
         return jax.lax.scan(body, jnp.bfloat16(0.0), jnp.arange(K))[0]
 
     add("4 full fwd+bwd proxy (grad)", proxy_bwd_scan,
@@ -265,15 +276,17 @@ def main():
     bwd = fb - fwd
     print("\nsummary (ms, % of full step; gather/augment by ablation):")
     for label, v in [
-        ("encoder fwd x4 (isolated)", enc),
-        ("decoder fwd x4 (isolated)", dec),
+        ("4 forwards (proxy, in-step fused)", fwd),
         ("backward of the 4 passes (proxy diff)", bwd),
         ("gather (ablation)", gather),
         ("augment (ablation)", augment),
         ("optimizer (isolated)", opt),
         ("loss math + mixup + rest (residual)",
-         full - enc - dec - bwd - gather - augment - opt)]:
+         full - fwd - bwd - gather - augment - opt)]:
         print(f"  {label:42s} {v:8.2f}  {100 * v / full:5.1f}%")
+    print(f"  (isolated enc fwd x4 {enc:.2f} ms / dec fwd x4 {dec:.2f} ms "
+          f"sum past the fused proxy — isolation severs cross-pass "
+          f"interleaving)")
 
 
 if __name__ == "__main__":
