@@ -57,7 +57,7 @@ def main(argv=None):
             "target_test_top1": [args.target - args.tolerance,
                                  args.target + args.tolerance],
             "est_wall_clock_hours_v5e1":
-                round(args.epochs * 45000 / 7300 / 3600, 2),
+                round(args.epochs * 45000 / 11500 / 3600, 2),
             "note": "no network egress in the build environment; place the "
                     "dataset under <base-path>/dataset/cifar and rerun",
         }

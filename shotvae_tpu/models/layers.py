@@ -82,7 +82,8 @@ class TorchConvTranspose(nn.ConvTranspose):
 
         k = tuple(self.kernel_size) if not isinstance(self.kernel_size, int) \
             else (self.kernel_size,) * 2
-        s = tuple(self.strides) if self.strides else (1, 1)
+        s = ((self.strides,) * 2 if isinstance(self.strides, int)
+             else tuple(self.strides) if self.strides else (1, 1))
         kd = self.kernel_dilation
         no_dilation = kd is None or all(d == 1 for d in (
             (kd,) * 2 if isinstance(kd, int) else tuple(kd)))

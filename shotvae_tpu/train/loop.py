@@ -230,6 +230,10 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
             end = time.time()
             if i % cfg.print_freq == 0:
                 # main_shot_vae.py:367-374 print format ("Time/Data val (avg)")
+                # NB: values are DISPATCH-side — train_jit returns before the
+                # device finishes, so "Time" reflects enqueue + queue
+                # backpressure, not per-step device latency (deliberate: a
+                # per-step sync would serialize the pipeline)
                 log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
                        f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                        f"Data {data_time.val:.3f} ({data_time.avg:.3f})")
@@ -367,7 +371,12 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
                         train_time=cfg.train_time)
     writer = TBWriter(log_dir)
 
-    raw_step = steps_lib.make_classifier_train_step(model)
+    # per-replica BN (DataParallel-faithful) runs the step under shard_map,
+    # same wiring as the SHOT/M2 loops (classifier_model/wideresnet.py:79-101
+    # wraps every submodule in nn.DataParallel too)
+    axis_name = dp.axis_name if getattr(cfg, "bn_per_replica", False) else None
+    raw_step = steps_lib.make_classifier_train_step(model,
+                                                    axis_name=axis_name)
     raw_eval = steps_lib.make_classifier_eval_step(
         model, num_classes=spec.num_classes)
 
@@ -381,7 +390,10 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
             return raw_eval(state, img, lab, weight)
         return f
 
-    train_jit = dp.jit_step(step_by_index, batch_argnums=(0,))
+    if axis_name is not None:
+        train_jit = dp.shard_map_step(step_by_index, batch_argnums=(0,))
+    else:
+        train_jit = dp.jit_step(step_by_index, batch_argnums=(0,))
     ev_valid = dp.jit_step(eval_factory(train_ds), batch_argnums=(0, 1),
                            donate_state=False)
     ev_test = dp.jit_step(eval_factory(test_ds), batch_argnums=(0, 1),
@@ -395,13 +407,18 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
     total_epochs = max_epochs if max_epochs is not None else cfg.epochs
     for epoch in range(total_epochs):
         losses = AverageMeter()
+        step_losses = []
         for i in range(steps_per_epoch):
             idx = next(labeled_iter)
             state, metrics = train_jit(
                 state, jnp.asarray(idx),
                 jax.random.fold_in(jax.random.fold_in(base_key, epoch), i))
-            if i % cfg.print_freq == 0:
-                losses.update(float(metrics["cls_loss"]), batch)
+            # meter updates EVERY batch (main_classifier.py:196); device
+            # arrays are collected async and fetched once per epoch so the
+            # dispatch queue never blocks on a per-step sync
+            step_losses.append(metrics["cls_loss"])
+        for v in jax.device_get(step_losses):
+            losses.update(float(v), batch)
         writer.scalar("Train/cls_loss", losses.avg, epoch + 1)
         train_losses.append(losses.avg)
 

@@ -84,6 +84,21 @@ class TestClassifierLoop:
         assert losses[-1] < losses[0] - 0.1, losses
         assert all(b < a for a, b in zip(losses, losses[1:])), losses
 
+    def test_bn_per_replica_epoch(self, tmp_base):
+        """--bn-per-replica drives the classifier through the shard_map
+        per-replica-BN step (it was silently ignored before round 3)."""
+        from shotvae_tpu.config import ClassifierConfig
+
+        cfg = ClassifierConfig(
+            base_path=tmp_base, dataset="Cifar10", batch_size=64,
+            net_name="wideresnet-10-1", synthetic_data=True,
+            synthetic_size=512, valid_per_class=5, annotated_per_class=35,
+            yes=True, print_freq=100, bf16=False, lr=0.05,
+            adjust_lr=[300, 350, 400], bn_per_replica=True)
+        out = run_classifier(cfg, max_epochs=1, log_fn=lambda *a: None)
+        assert len(out["history"]) == 1
+        assert np.isfinite(out["train_losses"][0])
+
 
 class TestSmoothElboLoop:
     def test_mnist_integration(self, tmp_base):
