@@ -419,12 +419,17 @@ def make_vae_eval_step(model, *, num_classes: int, bce: bool, x_sigma: float,
     weighted SUMS plus the effective count — host meters divide exactly like
     the reference AverageMeters — and the sigmoid reconstruction for image
     logging.
+
+    ``inject`` optionally replays pre-drawn sampling randomness
+    ({"eps", "unif"}) — the eval lockstep goldens feed the same draws to the
+    torch reference's valid()/test() math.
     """
 
-    def step(state: TrainState, img, lab, weight, key):
+    def step(state: TrainState, img, lab, weight, key, inject=None):
         x = to_float(img, normalize=aug.normalize)
         (recon, mean, ls, la), _ = _apply_vae(
-            model, state.params, state.batch_stats, x, key, train=False)
+            model, state.params, state.batch_stats, x, key, train=False,
+            noise=_inject_noise(inject, "eps", "unif"))
         w = weight.astype(jnp.float32)
         flat = lambda t: t.reshape(t.shape[0], -1)
         if bce:

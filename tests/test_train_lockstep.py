@@ -128,10 +128,42 @@ def _mix(torch, a, b, lam):
     return lam * a + (1 - lam) * b
 
 
-def _torch_shot_step(torch, ref, opt, x_l, lab_l, x_u, n):
-    """One reference SHOT-VAE iteration (main_shot_vae.py:280-366)."""
+def _torch_pairwise_kl(torch, z_mean, z_log_sigma):
+    """The reference's per-pair Gaussian KL, O(B^2) loop verbatim-in-spirit
+    (lib/utils/mixup.py:10-18 + :93-99): kl[i,j] = KL(N_i || N_j)."""
+    bsz = z_mean.size(0)
+    kl = torch.zeros(bsz, bsz)
+    for i in range(bsz):
+        for j in range(bsz):
+            s1 = torch.exp(z_log_sigma[i])
+            s2 = torch.exp(z_log_sigma[j])
+            kl[i, j] = (torch.sum(z_log_sigma[j] - z_log_sigma[i])
+                        + 0.5 * torch.sum(s1 ** 2 / s2 ** 2)
+                        + 0.5 * torch.sum((z_mean[i] - z_mean[j]) ** 2
+                                          / s2 ** 2)
+                        - 0.5 * z_mean.size(1))
+    return kl
+
+
+def _torch_optimal_index(torch, z_mean, z_log_sigma):
+    """topk(2, largest=False)[:, 1] — 2nd-smallest KL partner
+    (mixup.py:17-18; the smallest is the self-pair diagonal)."""
+    kl = _torch_pairwise_kl(torch, z_mean, z_log_sigma)
+    _, index = torch.topk(kl, 2, largest=False)
+    return index[:, 1]
+
+
+def _torch_shot_losses(torch, ref, x_l, lab_l, x_u, n, optimal_match=False):
+    """The two SHOT-VAE loss halves (main_shot_vae.py:283-364), no update.
+
+    ``optimal_match`` replaces the injected unlabeled-mixup permutation with
+    the reference's O(B^2) pairwise-KL 2nd-smallest partner (the ``--om``
+    path, main_shot_vae.py:348-355) computed from the live posteriors.
+    Batch divisors use the LOCAL batch size (x_l.size(0)) so the same math
+    serves the full-batch step and the per-replica DataParallel simulation."""
     F = torch.nn.functional
     s = SCHED
+    bsz = x_l.size(0)
     onehot_l = _onehot(torch, lab_l)
     # labeled fwd 1 (":288-295")
     rec_l, mean_l, ls_l, la_l = _ref_forward(
@@ -155,10 +187,9 @@ def _torch_shot_step(torch, ref, opt, x_l, lab_l, x_u, n):
         + (1 - lam) * _ce(torch, la_sm, onehot_p)
     cont_post_l = (F.mse_loss(mean_sm, zm_sm, reduction="sum")
                    + F.mse_loss(torch.exp(ls_sm), zs_sm,
-                                reduction="sum")) / B
+                                reduction="sum")) / bsz
     elbo_l = elbo_l + s["kl_beta_c"] * s["pwm"] * cont_post_l
     loss_sup = s["ew"] * elbo_l + disc_post_l
-    loss_sup.backward()
 
     # unlabeled fwd 3 (":327-346", gumbel path)
     rec_u, mean_u, ls_u, la_u = _ref_forward(
@@ -168,7 +199,9 @@ def _torch_shot_step(torch, ref, opt, x_l, lab_l, x_u, n):
         + s["kl_beta_d"] * torch.abs(dkl_u - s["dmi"])
     # posterior mixup, no grad (":348-355" + mixup.py:5-26)
     with torch.no_grad():
-        lam, perm = n["lam_mx"], n["perm_mx"]
+        lam = n["lam_mx"]
+        perm = (_torch_optimal_index(torch, mean_u, ls_u)
+                if optimal_match else n["perm_mx"])
         x_mx = _mix(torch, x_u, x_u[perm], lam)
         zm_mx = _mix(torch, mean_u, mean_u[perm], lam)
         zs_mx = _mix(torch, torch.exp(ls_u), torch.exp(ls_u)[perm], lam)
@@ -179,10 +212,19 @@ def _torch_shot_step(torch, ref, opt, x_l, lab_l, x_u, n):
     disc_post_u = _ce(torch, la_o, al_mx)
     cont_post_u = (F.mse_loss(mean_o, zm_mx, reduction="sum")
                    + F.mse_loss(torch.exp(ls_o), zs_mx,
-                                reduction="sum")) / B
+                                reduction="sum")) / bsz
     elbo_u = elbo_u + s["kl_beta_c"] * s["pwm"] * cont_post_u
     loss_unsup = s["ew"] * elbo_u + s["ucw"] * disc_post_u
-    loss_unsup.backward()
+    return loss_sup, loss_unsup
+
+
+def _torch_shot_step(torch, ref, opt, x_l, lab_l, x_u, n,
+                     optimal_match=False):
+    """One reference SHOT-VAE iteration (main_shot_vae.py:280-366): the two
+    loss halves backwarded in accumulation, one optimizer step."""
+    loss_sup, loss_unsup = _torch_shot_losses(torch, ref, x_l, lab_l, x_u, n,
+                                              optimal_match=optimal_match)
+    (loss_sup + loss_unsup).backward()
     opt.step()
     opt.zero_grad()
     return float(loss_sup.detach()) + float(loss_unsup.detach())
