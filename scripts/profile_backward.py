@@ -48,16 +48,20 @@ PEAK_TFLOPS = 197.0  # v5e bf16
 def device_time(fn, *args, n=5):
     """(per-iter seconds, per-iter flops) from ONE compiled K-scan.
 
-    FLOPs come from the same compiled program's cost_analysis (divided by
-    K) — a separate single-iteration compile would double the compile count,
-    which dominates wall time on this tunnel (~30 s per compile).
+    FLOPs come from the same compiled program's cost_analysis — a separate
+    single-iteration compile would double the compile count, which dominates
+    wall time on this tunnel (~30 s per compile). NB: XLA's HLO cost
+    analysis counts a while-loop body ONCE regardless of trip count
+    (verified against analytic conv FLOPs: block1 fwd x4 passes = 0.44 TF
+    analytic == reported), so the reported number already IS the per-
+    iteration cost — do not divide by K.
     """
     compiled = jax.jit(fn).lower(*args).compile()
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        fl = float(cost.get("flops", 0.0)) / K
+        fl = float(cost.get("flops", 0.0))
     except Exception:
         fl = float("nan")
     out = compiled(*args)
@@ -175,8 +179,12 @@ def conv_ceilings(convs):
       fwd:   M=B*Ho*Wo        N=Cout        K=Cin*k*k
       dgrad: M=B*H*W          N=Cin         K=Cout*k*k
       wgrad: M=Cin*k*k        N=Cout        K=B*Ho*Wo
-    ceiling = PEAK * min(N,128)/128 * min(K,128)/128 (lane + depth underfill;
-    M only matters when < 8 sublanes — never here).
+    ceiling = PEAK * lane(N) * depth(K) * mtile(M) where
+      lane(N)  = min(N,128)/128          (output-lane underfill)
+      depth(K) = min(K,128)/128          (contraction-depth underfill)
+      mtile(M) = M / (ceil(M/128)*128)   (partial last M-tile; matters for
+                 wgrad, whose whole output is Cin*k*k rows — e.g. 144 rows
+                 occupy two 128-row tiles at 56% average utilisation)
     """
     out = []
     for (label, B, H, W, cin, cout, k, s) in convs:
@@ -189,7 +197,8 @@ def conv_ceilings(convs):
         }
         row = {"label": label, "flops": fl}
         for vname, (M, N, Kd, f) in views.items():
-            occ = min(N, 128) / 128.0 * min(Kd, 128) / 128.0
+            mtile = M / (-(-M // 128) * 128)
+            occ = (min(N, 128) / 128.0 * min(Kd, 128) / 128.0 * mtile)
             row[vname] = (occ, PEAK_TFLOPS * occ)
         out.append(row)
     return out
@@ -259,13 +268,14 @@ def main():
         cin, st, hw = (w2, 2, 16) if i == 0 else (w3, 1, 8)
         convs.append((f"b3u{i+1}c1 3x3", B, hw, hw, cin, w3, 3, st))
         convs.append((f"b3u{i+1}c2 3x3", B, 8, 8, w3, w3, 3, 1))
-    print("\nanalytic MXU occupancy ceilings (TFLOP/s; crude "
-          "min(N,128)/128 * min(K,128)/128 model):")
+    print("\nanalytic MXU occupancy ceilings (TFLOP/s; "
+          "lane(N) * depth(K) * mtile(M) model):")
     print(f"{'conv':14s} {'GFLOP':>7s} {'fwd occ':>8s} {'ceil':>6s} "
           f"{'dgrad occ':>9s} {'ceil':>6s} {'wgrad occ':>9s} {'ceil':>6s}")
+    ceil_rows = conv_ceilings(convs)
     tot_fl = 0.0
     wsum = {"fwd": 0.0, "dgrad": 0.0, "wgrad": 0.0}
-    for r in conv_ceilings(convs):
+    for r in ceil_rows:
         tot_fl += r["flops"]
         for v in ("fwd", "dgrad", "wgrad"):
             wsum[v] += r["flops"] * r[v][0]
@@ -277,6 +287,29 @@ def main():
           + ", ".join(f"{v}={wsum[v] / tot_fl:.2f} "
                       f"(ceil {PEAK_TFLOPS * wsum[v] / tot_fl:.0f} TF/s)"
                       for v in ("fwd", "dgrad", "wgrad")))
+
+    # per-group time-weighted ceilings vs the measured stage rates above.
+    # bwd blended per conv: equal dgrad/wgrad FLOPs -> harmonic mean.
+    print("\nper-stage ceiling reconciliation (measured from the table "
+          "above; ceilings time-weighted over the group's convs):")
+    meas = {r[0].split(" ")[0]: r for r in rows}
+    for gname, prefix in (("block1", "b1"), ("block2", "b2"),
+                          ("block3", "b3")):
+        grp = [r for r in ceil_rows if r["label"].startswith(prefix)]
+        fl = sum(r["flops"] for r in grp)
+        t_fwd_ceiled = sum(r["flops"] / r["fwd"][1] for r in grp)
+        c_fwd = fl / t_fwd_ceiled
+        t_bwd_ceiled = sum(r["flops"] / r["dgrad"][1]
+                           + r["flops"] / r["wgrad"][1] for r in grp)
+        c_bwd = 2 * fl / t_bwd_ceiled
+        mrow = next((r for k, r in meas.items() if k.startswith(gname)), None)
+        if mrow is None:
+            continue
+        _, tf_ms, tb_ms, _, ffl, bfl, rf, rb = mrow
+        print(f"  {gname}: fwd {rf:6.1f} / ceil {c_fwd:6.1f} TF/s "
+              f"({100 * rf / c_fwd:5.1f}%)   "
+              f"bwd {rb:6.1f} / ceil {c_bwd:6.1f} TF/s "
+              f"({100 * rb / c_bwd:5.1f}%)")
 
 
 if __name__ == "__main__":

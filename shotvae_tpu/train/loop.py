@@ -191,9 +191,6 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                           donate_state=False)
 
     base_key = jax.random.key(cfg.seed + 1000)
-    rng_l = np.random.default_rng(cfg.seed + 1)
-    rng_u = np.random.default_rng(cfg.seed + 2)
-    labeled_iter = infinite_batches(rng_l, split.labeled, cfg.batch_size)
 
     best_valid_acc = -1.0
     history = []
@@ -205,6 +202,17 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
             # SURVEY.md §5.1: optional jax.profiler hooks
             jax.profiler.start_trace(profile_dir)
         epoch_key = jax.random.fold_in(base_key, epoch)
+        # data-order RNG is EPOCH-KEYED (not a stream advanced across
+        # epochs) so a resume from epoch e replays exactly the batches the
+        # uninterrupted run would have drawn — bit-exact resume, pinned by
+        # tests/test_loops_e2e.py::test_resume_bit_exact. Deviation vs the
+        # reference's continuously-advancing sampler RNG: same distribution,
+        # different concrete order (documented, README §parity).
+        labeled_iter = infinite_batches(
+            np.random.default_rng([cfg.seed + 1, epoch]), split.labeled,
+            cfg.batch_size)
+        rng_u = np.random.default_rng([cfg.seed + 2, epoch])
+        epoch_t0 = time.time()
         sched = _sched_to_device(shot_vae_epoch_schedules(epoch, cfg))
         batch_time = AverageMeter()
         data_time = AverageMeter()
@@ -212,6 +220,7 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         # (main_shot_vae.py:340) — as a device scalar (a lazy scalar add per
         # step, no host sync); one device_get per epoch.
         kl_inf_sum = jnp.float32(0.0)
+        loss_sum = jnp.float32(0.0)
         n_steps = 0
         end = time.time()
         for i, idx_u in enumerate(epoch_batches(rng_u, split.unlabeled,
@@ -225,6 +234,7 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                 state, jnp.asarray(idx_l), jnp.asarray(idx_u), sched,
                 jax.random.fold_in(epoch_key, i))
             kl_inf_sum = kl_inf_sum + t_metrics["kl_inference"]
+            loss_sum = loss_sum + t_metrics["loss"]
             n_steps += 1
             batch_time.update(time.time() - end)
             end = time.time()
@@ -300,7 +310,9 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         log_fn(f"Epoch {epoch}: valid top1 {valid_acc:.4f}, "
                f"test top1 {test_acc:.4f}")
         history.append({"epoch": epoch, "valid_top1": valid_acc,
-                        "test_top1": test_acc})
+                        "test_top1": test_acc,
+                        "train_loss": float(loss_sum) / max(n_steps, 1),
+                        "seconds": time.time() - epoch_t0})
 
         # ckpt_every <= 0 disables checkpointing entirely (benchmarks /
         # short experiments; the first orbax save costs ~200s on this

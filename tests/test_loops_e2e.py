@@ -58,6 +58,35 @@ class TestShotVaeLoop:
         # resumed from epoch 1, trained epoch 1 only
         assert [h["epoch"] for h in out["history"]] == [1]
 
+    def test_resume_bit_exact(self, tmp_path_factory):
+        """kill-and-resume == uninterrupted, bit-for-bit: params, BN stats
+        and optimizer state after (2 epochs -> resume -> 2 epochs) equal the
+        straight 4-epoch run (epoch-keyed data RNG + epoch-keyed step keys +
+        checkpointed opt_state make the replay exact)."""
+        base_a = str(tmp_path_factory.mktemp("uninterrupted"))
+        base_b = str(tmp_path_factory.mktemp("resumed"))
+        out_a = run_shot_vae(_tiny_cfg(base_a), max_epochs=4,
+                             log_fn=lambda *a: None)
+        run_shot_vae(_tiny_cfg(base_b), max_epochs=2, log_fn=lambda *a: None)
+        ckpt = os.path.join(base_b, "Cifar10-SHOT-VAE", "parameter",
+                            "train_time_1", "checkpoint")
+        out_b = run_shot_vae(_tiny_cfg(base_b, resume=ckpt), max_epochs=4,
+                             log_fn=lambda *a: None)
+        assert [h["epoch"] for h in out_b["history"]] == [2, 3]
+        sa, sb = out_a["state"], out_b["state"]
+        for tree_a, tree_b in ((sa.params, sb.params),
+                               (sa.batch_stats, sb.batch_stats),
+                               (sa.opt_state, sb.opt_state)):
+            la = jax.tree_util.tree_leaves(tree_a)
+            lb = jax.tree_util.tree_leaves(tree_b)
+            assert len(la) == len(lb) and len(la) > 0
+            for a, b in zip(la, lb):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the replayed epochs produced identical metrics too
+        for ha, hb in zip(out_a["history"][2:], out_b["history"]):
+            assert ha["valid_top1"] == hb["valid_top1"]
+            assert ha["train_loss"] == hb["train_loss"]
+
     def test_m2_one_epoch(self, tmp_base):
         cfg = _tiny_cfg(tmp_base)
         out = run_shot_vae(cfg, m2=True, max_epochs=1, log_fn=lambda *a: None)

@@ -113,3 +113,61 @@ class TestFusedSample:
         assert np.isclose(float(z.std()), 0.5, atol=0.05)
         np.testing.assert_allclose(np.asarray(y).sum(1), 1.0, rtol=1e-4)
         assert (np.asarray(y) >= 0).all()
+
+
+class TestFusedBnActConv:
+    """Pallas fused BN-affine + LeakyReLU + conv3x3 (ops/pallas/fused_conv)."""
+
+    def _data(self, b=8, h=8, w=8, cin=128, cout=128, seed=3,
+              dtype=jnp.float32):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), dtype)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, cin), jnp.float32)
+        shift = jnp.asarray(rng.normal(size=cin) * 0.1, jnp.float32)
+        wk = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05,
+                         jnp.float32)
+        return x, scale, shift, wk
+
+    def test_forward_matches_xla(self):
+        from shotvae_tpu.ops.pallas.fused_conv import (
+            fused_bn_act_conv, reference_bn_act_conv)
+
+        for shape in ((8, 8, 8, 128, 128), (4, 16, 16, 64, 64),
+                      (2, 32, 32, 32, 32), (6, 8, 8, 128, 64)):
+            x, scale, shift, wk = self._data(*shape)
+            got = fused_bn_act_conv(x, scale, shift, wk)
+            want = reference_bn_act_conv(x, scale, shift, wk)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_backward_matches_xla(self):
+        from shotvae_tpu.ops.pallas.fused_conv import (
+            fused_bn_act_conv, reference_bn_act_conv)
+
+        x, scale, shift, wk = self._data(b=4)
+
+        def loss(fn, x, scale, shift, wk):
+            return jnp.sum(jnp.square(fn(x, scale, shift, wk)))
+
+        g1 = jax.grad(lambda *a: loss(fused_bn_act_conv, *a),
+                      argnums=(0, 1, 2, 3))(x, scale, shift, wk)
+        g2 = jax.grad(lambda *a: loss(reference_bn_act_conv, *a),
+                      argnums=(0, 1, 2, 3))(x, scale, shift, wk)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_bn_affine_fold(self):
+        from shotvae_tpu.ops.pallas.fused_conv import bn_affine_from_stats
+
+        rng = np.random.default_rng(5)
+        mean = jnp.asarray(rng.normal(size=16), jnp.float32)
+        var = jnp.asarray(rng.uniform(0.5, 2.0, 16), jnp.float32)
+        gamma = jnp.asarray(rng.uniform(0.5, 1.5, 16), jnp.float32)
+        beta = jnp.asarray(rng.normal(size=16), jnp.float32)
+        scale, shift = bn_affine_from_stats(mean, var, gamma, beta)
+        x = jnp.asarray(rng.normal(size=(7, 16)), jnp.float32)
+        got = x * scale + shift
+        want = (x - mean) / jnp.sqrt(var + 1e-5) * gamma + beta
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
