@@ -34,9 +34,17 @@ dgrad/wgrad convs lower to the same MXU convolutions XLA uses natively, and
 the activation is recomputed from ``x`` (remat: trades one elementwise pass
 for not saving the activated tensor).
 
-Opt-in, like every Pallas kernel in this package: the XLA path stays the
-default unless measurements on the deployment shape favour the kernel
-(scripts/bench_fused_conv.py).
+Opt-in, like every Pallas kernel in this package — and on the production
+shapes it DOES NOT win: scan-measured at stage level (4 WRN units,
+768x8x8x128, real BN-stat math in the chain, scripts/bench_fused_conv.py)
+XLA runs 2.19 ms fwd / 3.69 ms fwd+bwd vs this kernel's 2.76 / 4.63
+(9-dot formulation; a single K=9C GEMM staged through an im2col scratch
+is slower still, 3.25 ms — the scratch round-trip exceeds the deeper-K
+gain). Single-conv A/B is parity at C=128. The honest conclusion recorded
+in docs/PERF.md: the block3 gap vs the analytic lane ceiling reproduces in
+a from-scratch implicit-GEMM, i.e. the ceiling model overestimates what is
+achievable at 8x8 spatial; XLA's conv is within ~25% of a hand kernel and
+the XLA path remains the default everywhere.
 """
 
 from __future__ import annotations
@@ -70,15 +78,17 @@ def _pick_tile(batch: int, rows_per_image: int, cin: int, cout: int,
         m = tb * rows_per_image
         if m > 4096:
             break
-        use = weights + m * cin * itemsize * 2 + m * cout * (4 + itemsize)
+        use = (weights + m * cin * itemsize * 2
+               + m * 9 * cin * itemsize + m * cout * (4 + itemsize))
         if use <= vmem_budget:
             best = tb
     return best
 
 
-def _kernel(x_ref, ab_ref, w_ref, out_ref, scr_ref, *, tb: int, h: int,
+def _kernel(x_ref, ab_ref, w_ref, out_ref, scr_ref, im2col_ref, *,
+            tb: int, h: int,
             w: int, cin: int, cout: int, slope: float,
-            concat_k: bool = True):
+            concat_k: bool = False):
     m = tb * h * w
     pad = w + 1
     scale = ab_ref[0, :].astype(jnp.float32)
@@ -97,17 +107,21 @@ def _kernel(x_ref, ab_ref, w_ref, out_ref, scr_ref, *, tb: int, h: int,
     xx = row % w
     if concat_k:
         # one (M, 9C) @ (9C, Cout) GEMM: deeper K streams the MXU better
-        # than 9 accumulating (M, C) dots
-        wins = []
+        # than 9 accumulating (M, C) dots. The im2col block is staged
+        # through a scratch ref because Mosaic cannot concatenate vectors
+        # whose sublane offsets differ (the 9 windows sit at offsets
+        # -W-1..W+1); ref writes realign each window.
         for dy in range(3):
             for dx in range(3):
                 off = (dy - 1) * w + (dx - 1)
                 win = scr_ref[pl.ds(pad + off, m), :]
                 valid = ((yy + dy - 1 >= 0) & (yy + dy - 1 < h)
                          & (xx + dx - 1 >= 0) & (xx + dx - 1 < w))
-                wins.append(jnp.where(valid, win, jnp.zeros_like(win)))
-        lhs = jnp.concatenate(wins, axis=1)
-        acc = jnp.dot(lhs, w_ref[:], preferred_element_type=jnp.float32)
+                t = dy * 3 + dx
+                im2col_ref[:, t * cin:(t + 1) * cin] = jnp.where(
+                    valid, win, jnp.zeros_like(win))
+        acc = jnp.dot(im2col_ref[:], w_ref[:],
+                      preferred_element_type=jnp.float32)
     else:
         acc = jnp.zeros((m, cout), jnp.float32)
         for dy in range(3):
@@ -124,7 +138,7 @@ def _kernel(x_ref, ab_ref, w_ref, out_ref, scr_ref, *, tb: int, h: int,
 
 
 def _fwd_pallas(x, scale, shift, w, *, slope: float,
-                concat_k: bool = True):
+                concat_k: bool = False):
     b, h, ww, cin = x.shape
     cout = w.shape[-1]
     tb = _pick_tile(b, h * ww, cin, cout, x.dtype.itemsize)
@@ -149,7 +163,8 @@ def _fwd_pallas(x, scale, shift, w, *, slope: float,
         out_specs=pl.BlockSpec((m, cout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h * ww, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((m + 2 * (ww + 1), cin), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((m + 2 * (ww + 1), cin), x.dtype),
+                        pltpu.VMEM((m, 9 * cin), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * ww * cout * cin * 9,
             bytes_accessed=(x2.size + 9 * cin * cout

@@ -44,3 +44,50 @@ class TestBenchContract:
                           if l.startswith("{")][0])
         assert rec["vs_baseline"] is None
         assert rec["value"] > 0
+
+
+class TestRematMemoryContract:
+    """DenseNet-121 `--efficient` (block-level remat) must FIT HBM at the
+    production batch 768+768 — the docs/PERF.md memory study as a contract
+    (un-remat'ed needs 19.18 G > 15.75 G HBM and OOMs; block remat fits).
+    TPU-only: compile-time memory analysis needs the real backend (the
+    conftest CPU mesh skips it); run on-chip via
+    `python -m pytest tests/test_bench_contract.py -k remat --no-header`.
+    """
+
+    def test_densenet_efficient_fits_hbm_at_batch_768(self):
+        import jax
+        import pytest
+
+        if jax.devices()[0].platform != "tpu":
+            pytest.skip("memory contract is a TPU compile check")
+        import jax.numpy as jnp
+
+        from shotvae_tpu.models import VariationalAutoEncoder
+        from shotvae_tpu.train import steps as steps_lib
+        from shotvae_tpu.train.state import TrainState, init_model, sgd_torch
+
+        model = VariationalAutoEncoder(
+            encoder_name="densenet-121", num_input_channels=3,
+            continuous_latent_dim=128, disc_latent_dim=10,
+            dtype=jnp.bfloat16, efficient=True)
+        params, bs = init_model(model, jax.random.key(0),
+                                jnp.zeros((2, 32, 32, 3)))
+        state = TrainState.create(apply_fn=model.apply, params=params,
+                                  batch_stats=bs, tx=sgd_torch(0.1))
+        step = steps_lib.make_shot_vae_train_step(
+            model, num_classes=10, bce=True, x_sigma=1.0, epsilon=0.1,
+            optimal_match=False)
+        B = 768
+        img = jnp.zeros((B, 32, 32, 3), jnp.uint8)
+        lab = jnp.zeros((B,), jnp.int32)
+        sched = {k: jnp.float32(v) for k, v in dict(
+            cmi=0.0, dmi=2.3, ew=1e-3, kl_beta_c=1e-3, kl_beta_d=1e-3,
+            pwm=1.0, ucw=1.0).items()}
+        compiled = jax.jit(step, donate_argnums=(0,)).lower(
+            state, img, lab, img, lab, sched, jax.random.key(1)).compile()
+        mem = compiled.memory_analysis()
+        live = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                + mem.output_size_in_bytes - mem.alias_size_in_bytes)
+        hbm = 15.75 * 2**30
+        assert live < hbm, f"live bytes {live/2**30:.2f}G >= HBM"
