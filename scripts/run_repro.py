@@ -64,7 +64,8 @@ def _run_synthetic(args) -> int:
     cmd = [sys.executable, "-m", "shotvae_tpu.cli.main_shot_vae",
            "-bp", base, "--dataset", "Cifar10", "--net-name", args.net_name,
            "--br", "--om", "--epochs", str(args.epochs), "--yes",
-           "--synthetic-data", "--synthetic-size", str(args.synthetic_size)]
+           "--synthetic-data", "--synthetic-size", str(args.synthetic_size),
+           "--steps-per-call", str(args.steps_per_call)]
     t0 = time.time()
     env = dict(os.environ, PYTHONUNBUFFERED="1")  # line-latency kill trigger
     proc = subprocess.Popen(cmd, cwd=repo, stdout=subprocess.PIPE,
@@ -97,7 +98,8 @@ def _run_synthetic(args) -> int:
         return ShotVaeConfig(
             base_path=base, dataset="Cifar10", net_name=args.net_name,
             br=True, om=True, epochs=args.epochs, yes=True, ckpt_every=1,
-            synthetic_data=True, synthetic_size=args.synthetic_size, **kw)
+            synthetic_data=True, synthetic_size=args.synthetic_size,
+            steps_per_call=args.steps_per_call, **kw)
 
     # ---- determinism probe: two resumes, two epochs each, bit-compare.
     # The probe's own per-epoch saves would advance the A/B checkpoint
@@ -185,6 +187,10 @@ def main(argv=None):
     p.add_argument("--kill-epoch", type=int, default=300)
     p.add_argument("--synthetic-size", type=int, default=50000)
     p.add_argument("--skip-determinism-probe", action="store_true")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="scan N train steps per dispatch (see cli/common.py;"
+                        " use the SAME value for kill and resume phases — "
+                        "resume is bit-exact within one dispatch mode only)")
     args = p.parse_args(argv)
 
     if args.synthetic:

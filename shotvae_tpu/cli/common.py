@@ -165,6 +165,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     parser.add_argument("--bn-per-replica", action="store_true",
                         help="DataParallel-faithful per-replica BatchNorm "
                              "statistics (shard_map); default is sync-BN")
+    parser.add_argument("--steps-per-call", default=1, type=int,
+                        help="scan N train steps inside one jitted dispatch "
+                             "(same keys/draws; cuts host dispatch "
+                             "overhead N-fold on slow/tunneled hosts)")
     return parser
 
 
@@ -200,5 +204,6 @@ def config_from_args(args) -> ShotVaeConfig:
         profile_dir=args.profile_dir, synthetic_size=args.synthetic_size,
         valid_per_class=args.valid_per_class,
         annotated_per_class=args.annotated_per_class,
-        bn_per_replica=args.bn_per_replica)
+        bn_per_replica=args.bn_per_replica,
+        steps_per_call=args.steps_per_call)
     return cfg

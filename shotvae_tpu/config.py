@@ -73,6 +73,8 @@ class ShotVaeConfig:
     valid_per_class: int = 0      # >0 overrides the dataset's valid split size
     annotated_per_class: int = 0  # >0 overrides the labeled split size
     bn_per_replica: bool = False  # DataParallel-faithful per-replica BN stats
+    steps_per_call: int = 1       # scan N train steps per host dispatch
+    #   (same keys/draws; N-fold fewer dispatches on slow hosts)
 
     def apply_dataset_overrides(self, *, m2: bool = False) -> "DatasetSpec":
         """Per-dataset hard-coded overrides + dataset facts, in one place."""

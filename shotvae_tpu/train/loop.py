@@ -28,6 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from shotvae_tpu.config import ShotVaeConfig, SmoothElboConfig
 from shotvae_tpu.data import (
@@ -48,6 +49,50 @@ from shotvae_tpu.parallel import DataParallel, make_mesh
 from shotvae_tpu.train import steps as steps_lib
 from shotvae_tpu.train.state import TrainState, adam_torch, init_model, sgd_torch
 from shotvae_tpu.utils import AverageMeter, MetricAccumulator
+
+
+def _make_chunk_runner(dp: DataParallel, step_by_index):
+    """``--steps-per-call`` chunk dispatcher: lax.scan N train steps inside
+    ONE jitted call. Per-step keys/draws/order are identical to per-step
+    dispatch; the scan body is a different compiled program than the
+    standalone step, so XLA reassociation leaves last-ulp float differences
+    only (pinned by test_loops_e2e::test_steps_per_call_equivalent). Cuts
+    host→device dispatches N-fold. Measured (WRN-28-2, batch 768+768, 63
+    steps/epoch, real v5e via the axon tunnel): steady epoch 9.0 → 8.5 s
+    with N=8 — modest when the tunnel's dispatch floor is low, and growing
+    with host latency / step count; the knob exists for dispatch-bound
+    hosts, not as a default.
+
+    ``step_by_index(state, *idx, *extras, key)``: ``idx`` are per-step
+    (batch,) int32 index arrays (stacked to (n, batch), batch axis sharded
+    over the mesh), ``extras`` are chunk-invariant pytrees (e.g. the epoch
+    schedule dict). One jit per distinct chunk length (the tail chunk
+    compiles once more)."""
+    chunk_jits = {}
+    sh = NamedSharding(dp.mesh, PartitionSpec(None, dp.axis_name))
+
+    def chunk_fn(state, idx_chunks, extras, keys):
+        def body(st, xs):
+            st, m = step_by_index(st, *xs[:-1], *extras, xs[-1])
+            return st, m
+        return jax.lax.scan(body, state, (*idx_chunks, keys))
+
+    def run(state, idx_chunks, extras, keys):
+        n = len(keys)
+        if n not in chunk_jits:
+            chunk_jits[n] = jax.jit(chunk_fn, donate_argnums=(0,))
+        idx_chunks = tuple(jax.device_put(jnp.asarray(a), sh)
+                           for a in idx_chunks)
+        return chunk_jits[n](state, idx_chunks, extras, keys)
+
+    return run
+
+
+def _chunk_keys(epoch_key, c0: int, n: int):
+    """Per-step keys for chunk [c0, c0+n) — same fold_in(epoch_key, i)
+    stream as per-step dispatch."""
+    return jax.vmap(lambda j: jax.random.fold_in(epoch_key, j))(
+        jnp.arange(c0, c0 + n))
 
 
 def _prepare_writer_dir(log_dir: str, *, resume: bool, assume_yes: bool,
@@ -185,6 +230,13 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         train_jit = dp.shard_map_step(step_by_index, batch_argnums=(0, 1))
     else:
         train_jit = dp.jit_step(step_by_index, batch_argnums=(0, 1))
+
+    spc = max(1, int(getattr(cfg, "steps_per_call", 1)))
+    if spc > 1 and axis_name is not None:
+        raise ValueError("--steps-per-call > 1 requires the default GSPMD "
+                         "mode (not --bn-per-replica)")
+    run_chunk = _make_chunk_runner(dp, step_by_index)
+
     ev_valid = dp.jit_step(eval_factory(train_ds), batch_argnums=(0, 1),
                            donate_state=False)
     ev_test = dp.jit_step(eval_factory(test_ds), batch_argnums=(0, 1),
@@ -223,30 +275,53 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         loss_sum = jnp.float32(0.0)
         n_steps = 0
         end = time.time()
-        for i, idx_u in enumerate(epoch_batches(rng_u, split.unlabeled,
-                                                cfg.batch_size)):
-            idx_l = next(labeled_iter)
-            # "data" = host-side batch prep; the actual gather+augment runs
-            # inside the compiled step (counted in batch_time, like the
-            # reference's GPU transforms land in its batch_time).
-            data_time.update(time.time() - end)
-            state, t_metrics = train_jit(
-                state, jnp.asarray(idx_l), jnp.asarray(idx_u), sched,
-                jax.random.fold_in(epoch_key, i))
-            kl_inf_sum = kl_inf_sum + t_metrics["kl_inference"]
-            loss_sum = loss_sum + t_metrics["loss"]
-            n_steps += 1
-            batch_time.update(time.time() - end)
-            end = time.time()
-            if i % cfg.print_freq == 0:
-                # main_shot_vae.py:367-374 print format ("Time/Data val (avg)")
-                # NB: values are DISPATCH-side — train_jit returns before the
-                # device finishes, so "Time" reflects enqueue + queue
-                # backpressure, not per-step device latency (deliberate: a
-                # per-step sync would serialize the pipeline)
-                log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
-                       f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
-                       f"Data {data_time.val:.3f} ({data_time.avg:.3f})")
+        if spc > 1:
+            u_batches = list(epoch_batches(rng_u, split.unlabeled,
+                                           cfg.batch_size))
+            l_batches = [next(labeled_iter) for _ in u_batches]
+            for c0 in range(0, len(u_batches), spc):
+                idx_u_c = np.stack(u_batches[c0:c0 + spc])
+                idx_l_c = np.stack(l_batches[c0:c0 + spc])
+                n = len(idx_u_c)
+                data_time.update((time.time() - end) / n, n)
+                state, ms = run_chunk(state, (idx_l_c, idx_u_c), (sched,),
+                                      _chunk_keys(epoch_key, c0, n))
+                kl_inf_sum = kl_inf_sum + jnp.sum(ms["kl_inference"])
+                loss_sum = loss_sum + jnp.sum(ms["loss"])
+                n_steps += n
+                batch_time.update((time.time() - end) / n, n)
+                end = time.time()
+                if (c0 // spc) % cfg.print_freq == 0:
+                    log_fn(f"Epoch: [{epoch}][{c0 + n}/{steps_per_epoch}]\t"
+                           f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})"
+                           f"\tData {data_time.val:.3f} ({data_time.avg:.3f})")
+            idx_u = u_batches[-1]  # reconstruct-freq image logging below
+        else:
+            for i, idx_u in enumerate(epoch_batches(rng_u, split.unlabeled,
+                                                    cfg.batch_size)):
+                idx_l = next(labeled_iter)
+                # "data" = host-side batch prep; the actual gather+augment
+                # runs inside the compiled step (counted in batch_time, like
+                # the reference's GPU transforms land in its batch_time).
+                data_time.update(time.time() - end)
+                state, t_metrics = train_jit(
+                    state, jnp.asarray(idx_l), jnp.asarray(idx_u), sched,
+                    jax.random.fold_in(epoch_key, i))
+                kl_inf_sum = kl_inf_sum + t_metrics["kl_inference"]
+                loss_sum = loss_sum + t_metrics["loss"]
+                n_steps += 1
+                batch_time.update(time.time() - end)
+                end = time.time()
+                if i % cfg.print_freq == 0:
+                    # main_shot_vae.py:367-374 print format
+                    # ("Time/Data val (avg)"). NB: values are DISPATCH-side —
+                    # train_jit returns before the device finishes, so "Time"
+                    # reflects enqueue + queue backpressure, not per-step
+                    # device latency (deliberate: a per-step sync would
+                    # serialize the pipeline)
+                    log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
+                           f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})"
+                           f"\tData {data_time.val:.3f} ({data_time.avg:.3f})")
         if profile_dir and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
         writer.scalar("Train/KL_Inference",
@@ -406,6 +481,11 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
         train_jit = dp.shard_map_step(step_by_index, batch_argnums=(0,))
     else:
         train_jit = dp.jit_step(step_by_index, batch_argnums=(0,))
+    spc = max(1, int(getattr(cfg, "steps_per_call", 1)))
+    if spc > 1 and axis_name is not None:
+        raise ValueError("--steps-per-call > 1 requires the default GSPMD "
+                         "mode (not --bn-per-replica)")
+    run_chunk = _make_chunk_runner(dp, step_by_index)
     ev_valid = dp.jit_step(eval_factory(train_ds), batch_argnums=(0, 1),
                            donate_state=False)
     ev_test = dp.jit_step(eval_factory(test_ds), batch_argnums=(0, 1),
@@ -420,16 +500,26 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
     for epoch in range(total_epochs):
         losses = AverageMeter()
         step_losses = []
-        for i in range(steps_per_epoch):
-            idx = next(labeled_iter)
-            state, metrics = train_jit(
-                state, jnp.asarray(idx),
-                jax.random.fold_in(jax.random.fold_in(base_key, epoch), i))
-            # meter updates EVERY batch (main_classifier.py:196); device
-            # arrays are collected async and fetched once per epoch so the
-            # dispatch queue never blocks on a per-step sync
-            step_losses.append(metrics["cls_loss"])
-        for v in jax.device_get(step_losses):
+        epoch_key = jax.random.fold_in(base_key, epoch)
+        if spc > 1:
+            idxs = [next(labeled_iter) for _ in range(steps_per_epoch)]
+            for c0 in range(0, steps_per_epoch, spc):
+                chunk = np.stack(idxs[c0:c0 + spc])
+                state, ms = run_chunk(state, (chunk,), (),
+                                      _chunk_keys(epoch_key, c0, len(chunk)))
+                step_losses.append(ms["cls_loss"])  # (n,) per chunk
+        else:
+            for i in range(steps_per_epoch):
+                idx = next(labeled_iter)
+                state, metrics = train_jit(
+                    state, jnp.asarray(idx),
+                    jax.random.fold_in(epoch_key, i))
+                # meter updates EVERY batch (main_classifier.py:196); device
+                # arrays are collected async and fetched once per epoch so
+                # the dispatch queue never blocks on a per-step sync
+                step_losses.append(metrics["cls_loss"])
+        for v in np.concatenate([np.atleast_1d(np.asarray(x))
+                                 for x in jax.device_get(step_losses)]):
             losses.update(float(v), batch)
         writer.scalar("Train/cls_loss", losses.avg, epoch + 1)
         train_losses.append(losses.avg)

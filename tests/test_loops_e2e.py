@@ -87,6 +87,27 @@ class TestShotVaeLoop:
             assert ha["valid_top1"] == hb["valid_top1"]
             assert ha["train_loss"] == hb["train_loss"]
 
+    def test_steps_per_call_equivalent(self, tmp_path_factory):
+        """--steps-per-call N (scan-chunked dispatch) matches per-step
+        dispatch: same per-step keys, same order, same draws. The scan
+        body and the standalone step are DIFFERENT compiled programs, so
+        XLA's op reassociation leaves last-ulp differences (~1e-8 absolute
+        on params after an epoch) — equality is asserted to 1e-5, and the
+        per-step losses match exactly."""
+        base_a = str(tmp_path_factory.mktemp("per_step"))
+        base_b = str(tmp_path_factory.mktemp("chunked"))
+        out_a = run_shot_vae(_tiny_cfg(base_a, ckpt_every=0),
+                             max_epochs=1, log_fn=lambda *a: None)
+        out_b = run_shot_vae(_tiny_cfg(base_b, ckpt_every=0,
+                                       steps_per_call=4),  # 6 steps -> 4 + tail 2
+                             max_epochs=1, log_fn=lambda *a: None)
+        assert out_a["history"][0]["train_loss"] == \
+            out_b["history"][0]["train_loss"]
+        for a, b in zip(jax.tree_util.tree_leaves(out_a["state"].params),
+                        jax.tree_util.tree_leaves(out_b["state"].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_m2_one_epoch(self, tmp_base):
         cfg = _tiny_cfg(tmp_base)
         out = run_shot_vae(cfg, m2=True, max_epochs=1, log_fn=lambda *a: None)
@@ -127,6 +148,31 @@ class TestClassifierLoop:
         out = run_classifier(cfg, max_epochs=1, log_fn=lambda *a: None)
         assert len(out["history"]) == 1
         assert np.isfinite(out["train_losses"][0])
+
+    def test_steps_per_call_equivalent(self, tmp_path_factory):
+        """--steps-per-call chunked dispatch matches per-step dispatch on
+        the classifier loop too (same keys/draws; scan-body recompile
+        leaves last-ulp reassociation noise only)."""
+        from shotvae_tpu.config import ClassifierConfig
+
+        def _cfg(base, **kw):
+            return ClassifierConfig(
+                base_path=base, dataset="Cifar10", batch_size=64,
+                net_name="wideresnet-10-1", synthetic_data=True,
+                synthetic_size=512, valid_per_class=5, annotated_per_class=35,
+                yes=True, print_freq=100, bf16=False, lr=0.05,
+                adjust_lr=[300, 350, 400], **kw)
+        out_a = run_classifier(_cfg(str(tmp_path_factory.mktemp("cls_step"))),
+                               max_epochs=1, log_fn=lambda *a: None)
+        out_b = run_classifier(_cfg(str(tmp_path_factory.mktemp("cls_chunk")),
+                                    steps_per_call=4),  # 6 steps -> 4 + tail 2
+                               max_epochs=1, log_fn=lambda *a: None)
+        np.testing.assert_allclose(out_a["train_losses"], out_b["train_losses"],
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(out_a["state"].params),
+                        jax.tree_util.tree_leaves(out_b["state"].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
 
 
 class TestSmoothElboLoop:
