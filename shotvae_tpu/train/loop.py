@@ -349,17 +349,23 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                 ("Test", ev_test, np.arange(len(test_data.labels)), test_ds)):
             acc = MetricAccumulator()
             recon_imgs = raw_imgs = None
+            batch_metrics = []
             for j, (idx, weight) in enumerate(
                     _padded_eval_batches(indices, cfg.batch_size)):
                 metrics, recon = ev_jit(state, idx, weight,
                                         jax.random.fold_in(epoch_key,
                                                            10_000 + j))
-                acc.update(metrics)
+                # collect device dicts, fetch ONCE per split below — a
+                # per-batch float() would cost one tunnel round trip per
+                # eval batch (multi-ms dispatch floor, CLAUDE.md)
+                batch_metrics.append(metrics)
                 if recon_imgs is None:
                     recon_imgs = np.asarray(recon[:4])
                     raw_imgs = np.asarray(
                         jnp.take(ds.images, idx[:4], axis=0)
                     ).astype(np.float32) / 255.0
+            for m in jax.device_get(batch_metrics):
+                acc.update(m)
             avg = acc.averages()
             results[split_name] = avg
             writer.scalar(f"{split_name}/KL(q(z|X)||p(z))",
@@ -529,8 +535,11 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
                                       ("Test", ev_test,
                                        np.arange(len(test_data.labels)))):
             acc = MetricAccumulator()
-            for idx, weight in _padded_eval_batches(indices, cfg.batch_size):
-                acc.update(ev_jit(state, idx, weight))
+            # dispatch all eval batches, fetch once (no per-batch sync)
+            batch_metrics = [ev_jit(state, idx, weight) for idx, weight
+                             in _padded_eval_batches(indices, cfg.batch_size)]
+            for m in jax.device_get(batch_metrics):
+                acc.update(m)
             avg = acc.averages()
             out[name] = avg
             writer.scalar(f"{name}/cls_loss", avg["cls_loss_avg"], epoch + 1)
@@ -690,9 +699,13 @@ def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
         sums = {k: float(v) for k, v in jax.device_get(sums_dev).items()}
 
         acc = MetricAccumulator()
-        for idx, weight in _padded_eval_batches(
-                np.arange(len(test.labels)), cfg.test_batch_size):
-            acc.update(eval_jit(state, idx, weight))
+        # dispatch all eval batches, fetch once (no per-batch sync)
+        batch_metrics = [eval_jit(state, idx, weight) for idx, weight
+                         in _padded_eval_batches(
+                             np.arange(len(test.labels)),
+                             cfg.test_batch_size)]
+        for m in jax.device_get(batch_metrics):
+            acc.update(m)
         avgs = acc.averages()
         test_acc = avgs["correct_rate"]
         mean_loss = sums.get("loss", 0.0) / max(nb, 1)
