@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shotvae_tpu.ops.pallas.fused_conv import (fused_bn_act_conv,
+from shotvae_tpu.ops.pallas.fused_conv import (bn_affine_from_stats,
+                                               fused_bn_act_conv,
                                                reference_bn_act_conv)
 
 K = 20
@@ -126,15 +127,12 @@ def _unit_params(key, cin, cout, dtype=jnp.float32):
     return p
 
 
-def _bn_affine(x, gamma, beta, eps=1e-5):
+def _bn_affine(x, gamma, beta):
+    # batch-stat reduction stays here; the fold math comes from the kernel
+    # module so the A/B always measures exactly what the kernel implements
     m = jnp.mean(x.astype(jnp.float32), axis=(0, 1, 2))
     v = jnp.var(x.astype(jnp.float32), axis=(0, 1, 2))
-    scale = gamma * jax.lax.rsqrt(v + eps)
-    return scale, beta - m * scale
-
-
-def _leaky(x, slope=0.01):
-    return jnp.where(x > 0, x, slope * x)
+    return bn_affine_from_stats(m, v, gamma, beta)
 
 
 def _stage_forward(params, x, site):

@@ -41,10 +41,13 @@ def _expected_lr_trace(base_lr, milestones, epochs, gamma=0.1,
                        warmup_factor=0.2):
     """Per-epoch LR, reference semantics: lr*warmup_factor during epoch 0
     (main_shot_vae.py:223-225,253-254), MultiStepLR decay at milestones
-    (scheduler.step(epoch) at epoch end, :252)."""
+    (scheduler.step(epoch) at epoch END, :252 — so epoch m itself still
+    trains at the undecayed LR and the decay is first used at epoch m+1,
+    matching ops/schedules.py:multistep_lr's (m+1)*steps_per_epoch
+    boundary)."""
     out = []
     for e in range(epochs):
-        lr = base_lr * (gamma ** sum(1 for m in milestones if e >= m))
+        lr = base_lr * (gamma ** sum(1 for m in milestones if e > m))
         out.append(lr * warmup_factor if e == 0 else lr)
     return out
 

@@ -37,14 +37,16 @@ for not saving the activated tensor).
 Opt-in, like every Pallas kernel in this package — and on the production
 shapes it DOES NOT win: scan-measured at stage level (4 WRN units,
 768x8x8x128, real BN-stat math in the chain, scripts/bench_fused_conv.py)
-XLA runs 2.19 ms fwd / 3.69 ms fwd+bwd vs this kernel's 2.76 / 4.63
-(9-dot formulation; a single K=9C GEMM staged through an im2col scratch
-is slower still, 3.25 ms — the scratch round-trip exceeds the deeper-K
-gain). Single-conv A/B is parity at C=128. The honest conclusion recorded
-in docs/PERF.md: the block3 gap vs the analytic lane ceiling reproduces in
-a from-scratch implicit-GEMM, i.e. the ceiling model overestimates what is
-achievable at 8x8 spatial; XLA's conv is within ~25% of a hand kernel and
-the XLA path remains the default everywhere.
+XLA runs ~1.3x faster fwd and fwd+bwd (2.46 vs 3.16 ms fwd / 3.92 vs
+4.93 ms f+b, re-measured after a review fix removed an always-allocated
+im2col scratch that had halved the batch tile — full tile, same verdict;
+a single K=9C GEMM staged through the im2col scratch is slower still:
+the scratch round-trip exceeds the deeper-K gain). Single-conv A/B is
+parity at C=128. The honest conclusion recorded in docs/PERF.md: the
+block3 gap vs the analytic lane ceiling reproduces in a from-scratch
+implicit-GEMM, i.e. the ceiling model overestimates what is achievable
+at 8x8 spatial; XLA's conv is within ~30% of a hand kernel and the XLA
+path remains the default everywhere.
 """
 
 from __future__ import annotations
@@ -63,11 +65,13 @@ LEAKY_SLOPE = 0.01  # torch nn.LeakyReLU default (wideresnet.py:27)
 
 
 def _pick_tile(batch: int, rows_per_image: int, cin: int, cout: int,
-               itemsize: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
+               itemsize: int, vmem_budget: int = 10 * 1024 * 1024,
+               concat_k: bool = False) -> int:
     """Largest batch tile dividing the batch whose working set fits VMEM.
 
     Working set per grid step: x block + padded scratch (itemsize each),
-    f32 accumulator, plus the resident (9*Cin, Cout) weight block; capped
+    f32 accumulator, plus the resident (9*Cin, Cout) weight block and —
+    only under ``concat_k`` — the (M, 9*Cin) im2col staging buffer; capped
     at 4096 rows to keep the M-tiling MXU-friendly.
     """
     weights = 9 * cin * cout * itemsize
@@ -79,16 +83,21 @@ def _pick_tile(batch: int, rows_per_image: int, cin: int, cout: int,
         if m > 4096:
             break
         use = (weights + m * cin * itemsize * 2
-               + m * 9 * cin * itemsize + m * cout * (4 + itemsize))
+               + (m * 9 * cin * itemsize if concat_k else 0)
+               + m * cout * (4 + itemsize))
         if use <= vmem_budget:
             best = tb
     return best
 
 
-def _kernel(x_ref, ab_ref, w_ref, out_ref, scr_ref, im2col_ref, *,
+def _kernel(x_ref, ab_ref, w_ref, out_ref, scr_ref, *maybe_im2col,
             tb: int, h: int,
             w: int, cin: int, cout: int, slope: float,
             concat_k: bool = False):
+    # the (M, 9*Cin) im2col scratch exists only under concat_k — allocating
+    # it unconditionally would halve the achievable batch tile for the
+    # default 9-dot path (round-3 review finding)
+    im2col_ref = maybe_im2col[0] if concat_k else None
     m = tb * h * w
     pad = w + 1
     scale = ab_ref[0, :].astype(jnp.float32)
@@ -141,7 +150,8 @@ def _fwd_pallas(x, scale, shift, w, *, slope: float,
                 concat_k: bool = False):
     b, h, ww, cin = x.shape
     cout = w.shape[-1]
-    tb = _pick_tile(b, h * ww, cin, cout, x.dtype.itemsize)
+    tb = _pick_tile(b, h * ww, cin, cout, x.dtype.itemsize,
+                    concat_k=concat_k)
     m = tb * h * ww
     x2 = x.reshape(b * h * ww, cin)
     ab = jnp.stack([scale.astype(jnp.float32),
@@ -163,8 +173,9 @@ def _fwd_pallas(x, scale, shift, w, *, slope: float,
         out_specs=pl.BlockSpec((m, cout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h * ww, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((m + 2 * (ww + 1), cin), x.dtype),
-                        pltpu.VMEM((m, 9 * cin), x.dtype)],
+        scratch_shapes=(
+            [pltpu.VMEM((m + 2 * (ww + 1), cin), x.dtype)]
+            + ([pltpu.VMEM((m, 9 * cin), x.dtype)] if concat_k else [])),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * ww * cout * cin * 9,
             bytes_accessed=(x2.size + 9 * cin * cout

@@ -395,6 +395,16 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                         "train_loss": float(loss_sum) / max(n_steps, 1),
                         "seconds": time.time() - epoch_t0})
 
+        # Cifar10 ewm x5 bump at the first milestone (":255-258", SHOT only).
+        # Applied BEFORE the epoch's checkpoint saves (the reference saves
+        # first, main_shot_vae.py:237-258, so its epoch-(m+1) checkpoint
+        # serializes the pre-bump ewm and a resume at m+1 never re-fires
+        # `epoch == adjust_lr[0]` — epochs m+1.. train with ew 5x too small).
+        # Saving the bumped value keeps resume bit-exact vs an uninterrupted
+        # run; documented as a parity deviation in README.md.
+        if not m2 and spec.name == "Cifar10" and cfg.annotated_ratio >= 0.05 \
+                and epoch == cfg.adjust_lr[0]:
+            cfg.ewm = cfg.ewm * 5
         # ckpt_every <= 0 disables checkpointing entirely (benchmarks /
         # short experiments; the first orbax save costs ~200s on this
         # tunnel). Default 1 = reference parity (save every epoch).
@@ -407,10 +417,6 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
             if cfg.ckpt_every > 0 and epoch >= cfg.adjust_lr[-1]:
                 ckpt.save(state, epoch=epoch + 1, config=cfg.asdict(),
                           best=True)
-        # Cifar10 ewm x5 bump at the first milestone (":255-258", SHOT only)
-        if not m2 and spec.name == "Cifar10" and cfg.annotated_ratio >= 0.05 \
-                and epoch == cfg.adjust_lr[0]:
-            cfg.ewm = cfg.ewm * 5
         writer.flush()
 
     writer.close()

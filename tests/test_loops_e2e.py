@@ -62,16 +62,24 @@ class TestShotVaeLoop:
         """kill-and-resume == uninterrupted, bit-for-bit: params, BN stats
         and optimizer state after (2 epochs -> resume -> 2 epochs) equal the
         straight 4-epoch run (epoch-keyed data RNG + epoch-keyed step keys +
-        checkpointed opt_state make the replay exact)."""
+        checkpointed opt_state make the replay exact).
+
+        adjust_lr=[1,2,3] puts the Cifar10 ewm x5 bump (loop.py, mirrors
+        main_shot_vae.py:255-258) at the end of epoch 1, i.e. BEFORE the
+        resume point: the epoch-2 checkpoint must serialize the bumped ewm
+        or the resumed run trains epochs 2-3 with ew 5x too small (the
+        reference's own save-then-bump ordering has that latent bug)."""
         base_a = str(tmp_path_factory.mktemp("uninterrupted"))
         base_b = str(tmp_path_factory.mktemp("resumed"))
-        out_a = run_shot_vae(_tiny_cfg(base_a), max_epochs=4,
+        milestones = dict(adjust_lr=[1, 2, 3])
+        out_a = run_shot_vae(_tiny_cfg(base_a, **milestones), max_epochs=4,
                              log_fn=lambda *a: None)
-        run_shot_vae(_tiny_cfg(base_b), max_epochs=2, log_fn=lambda *a: None)
+        run_shot_vae(_tiny_cfg(base_b, **milestones), max_epochs=2,
+                     log_fn=lambda *a: None)
         ckpt = os.path.join(base_b, "Cifar10-SHOT-VAE", "parameter",
                             "train_time_1", "checkpoint")
-        out_b = run_shot_vae(_tiny_cfg(base_b, resume=ckpt), max_epochs=4,
-                             log_fn=lambda *a: None)
+        out_b = run_shot_vae(_tiny_cfg(base_b, resume=ckpt, **milestones),
+                             max_epochs=4, log_fn=lambda *a: None)
         assert [h["epoch"] for h in out_b["history"]] == [2, 3]
         sa, sb = out_a["state"], out_b["state"]
         for tree_a, tree_b in ((sa.params, sb.params),
@@ -101,8 +109,12 @@ class TestShotVaeLoop:
         out_b = run_shot_vae(_tiny_cfg(base_b, ckpt_every=0,
                                        steps_per_call=4),  # 6 steps -> 4 + tail 2
                              max_epochs=1, log_fn=lambda *a: None)
-        assert out_a["history"][0]["train_loss"] == \
-            out_b["history"][0]["train_loss"]
+        # per-step mode left-folds 6 scalar adds on the host while chunked
+        # mode jnp.sums per chunk then adds — same per-step losses, but the
+        # f32 reassociation can differ in the last ulp, so not `==`.
+        np.testing.assert_allclose(out_a["history"][0]["train_loss"],
+                                   out_b["history"][0]["train_loss"],
+                                   rtol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(out_a["state"].params),
                         jax.tree_util.tree_leaves(out_b["state"].params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
