@@ -35,6 +35,25 @@ class TestAlphaSchedule:
 
 
 class TestMultiStepLR:
+    def test_repro_analytic_trace_matches_schedule(self):
+        """scripts/run_repro.py's analytic per-epoch LR trace must agree
+        with the implemented multistep_lr at every epoch (a round-3 review
+        caught it decaying one epoch early: e >= m instead of e > m)."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "run_repro", os.path.join(os.path.dirname(__file__), os.pardir,
+                                      "scripts", "run_repro.py"))
+        run_repro = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(run_repro)
+        spe, milestones, epochs = 7, [3, 5, 8], 12
+        sched = schedules.multistep_lr(0.1, milestones, spe)
+        trace = run_repro._expected_lr_trace(0.1, milestones, epochs)
+        for e in range(epochs):
+            np.testing.assert_allclose(float(sched(e * spe)), trace[e],
+                                       rtol=1e-6, err_msg=f"epoch {e}")
+
     def test_warmup_and_milestones(self):
         spe = 10  # steps per epoch
         sched = schedules.multistep_lr(0.1, [400, 500, 550], spe)
