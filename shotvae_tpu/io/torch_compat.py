@@ -54,10 +54,23 @@ def _translate_trunk(key: str) -> str:
     raise KeyError(f"unmapped trunk key: {key}")
 
 
+def _translate_any_trunk(key: str) -> str:
+    """Dispatch a trunk key to its encoder family by naming signature:
+    denseblock/transition{N} -> densenet, .preact_block. -> preactresnet,
+    otherwise the WRN trunk (which also owns the shared pre_process and
+    bare transition.norm names)."""
+    bare = re.sub(r"^encoder\.", "", key)
+    if re.match(r"(denseblock|transition\d)", bare):
+        return _translate_densenet(bare)
+    if ".preact_block." in bare:
+        return _translate_preact(bare)
+    return _translate_trunk(key)
+
+
 def _translate_vae(key: str) -> str:
     if key.startswith("feature_extractor."):
         return ("feature_extractor/"
-                + _translate_trunk(key[len("feature_extractor."):]))
+                + _translate_any_trunk(key[len("feature_extractor."):]))
     if key.startswith("continuous_inference.mean.fc"):
         return "cont_mean"
     if key.startswith("continuous_inference.log_sigma.fc"):
@@ -172,11 +185,14 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
     wrappers are stripped. Values may be torch tensors or numpy arrays.
     """
     translate = _TRANSLATORS[kind]
-    if kind == "densenet":
-        # stems (e.g. 'transition1.conv') for last-transition detection
+    if kind == "densenet" or any("denseblock" in k for k in state_dict):
+        # stems (e.g. 'transition1.conv') for last-transition detection,
+        # normalized past the vae's feature_extractor.encoder. prefix so a
+        # densenet trunk inside the VAE resolves identically
         _DENSENET_KEYS.clear()
         _DENSENET_KEYS.update(
-            re.sub(r"^encoder\.", "", k.replace(".module", "")).rsplit(".", 1)[0]
+            re.sub(r"^(feature_extractor\.)?(encoder\.)?", "",
+                   k.replace(".module", "")).rsplit(".", 1)[0]
             for k in state_dict)
     params: dict = {}
     batch_stats: dict = {}
