@@ -29,13 +29,19 @@ from shotvae_tpu.ops import sampling
 def mnist_vae_config() -> dict:
     """mnist_VAE hyperparameters (mnist_vae.py:21-22,48-65,95-105)."""
     return dict(img_channels=1, encoder_channels=(32, 64, 64), hidden_dim=256,
-                reshape_channels=64, latent_cont_dim=10, disc_dims=(10,))
+                reshape_channels=64, decoder_channels=(32, 32),
+                latent_cont_dim=10, disc_dims=(10,))
 
 
 def svhn_vae_config() -> dict:
-    """svhn_VAE hyperparameters (svhn_vae.py:21-22,67,77,96)."""
+    """svhn_VAE hyperparameters (svhn_vae.py:21-22,67,77,96,124-132).
+
+    The svhn decoder is wider than mnist's: ConvT 128->64->32->3
+    (svhn_vae.py:125-129) vs mnist's 64->32->32->1 (mnist_vae.py:97-101).
+    """
     return dict(img_channels=3, encoder_channels=(32, 64, 128), hidden_dim=512,
-                reshape_channels=128, latent_cont_dim=32, disc_dims=(10,))
+                reshape_channels=128, decoder_channels=(64, 32),
+                latent_cont_dim=32, disc_dims=(10,))
 
 
 class SmoothVAE(nn.Module):
@@ -43,6 +49,7 @@ class SmoothVAE(nn.Module):
     encoder_channels: Sequence[int] = (32, 64, 64)
     hidden_dim: int = 256
     reshape_channels: int = 64
+    decoder_channels: Sequence[int] = (32, 32)
     latent_cont_dim: int = 10
     disc_dims: Sequence[int] = (10,)
     temperature: float = 0.67
@@ -106,12 +113,12 @@ class SmoothVAE(nn.Module):
         d = relu(TorchDense(self.reshape_channels * 16, dtype=self.dtype,
                             name="hidden_to_features")(d))
         d = d.reshape(batch, 4, 4, self.reshape_channels)
-        d = relu(TorchConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
-                                    dtype=self.dtype, name="dec_convt0")(d))
-        d = relu(TorchConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
-                                    dtype=self.dtype, name="dec_convt1")(d))
+        for i, ch in enumerate(self.decoder_channels):
+            d = relu(TorchConvTranspose(ch, (4, 4), strides=(2, 2),
+                                        padding="SAME", dtype=self.dtype,
+                                        name=f"dec_convt{i}")(d))
         d = TorchConvTranspose(self.img_channels, (4, 4), strides=(2, 2),
                                padding="SAME", dtype=self.dtype,
-                               name="dec_convt2")(d)
+                               name=f"dec_convt{len(self.decoder_channels)}")(d)
         recon = jnp.tanh(d.astype(jnp.float32))
         return recon, latent_dist, latent_sample, disc_samples

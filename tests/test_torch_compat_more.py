@@ -133,6 +133,56 @@ class TestSmoothVaeImport:
             rtol=1e-3, atol=1e-3)
 
 
+class TestSmoothVaeSvhnImport:
+    def test_svhn_eval_forward_matches(self, torch_ref):
+        """svhn_VAE has a WIDER decoder than mnist's (ConvT 128->64->32->3,
+        svhn_vae.py:124-132) — this pins the decoder_channels=(64,32)
+        config the mnist-shaped default would silently get wrong."""
+        torch = torch_ref
+        import svhn_vae as ref_mod
+
+        torch.manual_seed(0)
+        ref = ref_mod.svhn_VAE(img_size=(3, 32, 32),
+                               latent_spec={"cont": 32, "disc": [10]},
+                               use_cuda=False)
+        ref.eval()
+
+        from shotvae_tpu.io.torch_compat import (import_smooth_vae_state_dict,
+                                                 merge_imported)
+        from shotvae_tpu.models import SmoothVAE, svhn_vae_config
+        from shotvae_tpu.train.state import init_model
+
+        cfg = svhn_vae_config()
+        cfg["latent_cont_dim"] = 32
+        model = SmoothVAE(**cfg)
+        params, stats = init_model(model, jax.random.key(0),
+                                   jnp.zeros((1, 32, 32, 3)))
+        ip, _ = import_smooth_vae_state_dict(
+            ref.state_dict(), encoder_channels=(32, 64, 128),
+            reshape_channels=128)
+        params, stats = merge_imported(params, stats, ip, {})
+
+        x_chw = np.random.default_rng(4).normal(
+            size=(2, 3, 32, 32)).astype(np.float32)
+        x = np.ascontiguousarray(x_chw.transpose(0, 2, 3, 1))
+        with torch.no_grad():
+            t_recon, t_dist, t_latent, _ = ref(torch.tensor(x_chw))
+        recon, dist, latent, _ = model.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x),
+            train=False)
+        np.testing.assert_allclose(np.asarray(dist["cont"][0]),
+                                   t_dist["cont"][0].numpy(), rtol=1e-3,
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(dist["disc"][0]),
+                                   t_dist["disc"][0].numpy(), rtol=1e-3,
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(latent), t_latent.numpy(),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(recon), t_recon.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-3, atol=1e-3)
+
+
 class TestMLPClassifierImport:
     def test_forward_matches(self, torch_ref):
         torch = torch_ref
