@@ -108,7 +108,15 @@ def scan_time(fn, *args, n=5):
     return float(np.median(ts)) / K * 1e3
 
 
-def timed_pair(make_loss, x, label):
+def timed_pair(make_loss, x, label, weights=()):
+    """Times fwd, fwd+dgrad, and (if `weights` given) fwd+dgrad+wgrad.
+
+    `make_loss(xi)` closes over its weights; `weights` lists the same
+    arrays so the full-backward arm can differentiate w.r.t. them too —
+    the training step pays dgrad AND wgrad, and wgrad is where the lane
+    model says small-C convs starve (its GEMM output is only 9*Cin rows
+    x F lanes), so an A/B without it would miss the dominant term.
+    """
     def fwd():
         def body(carry, _):
             return carry + 1e-6 * make_loss(x + carry), None
@@ -124,9 +132,26 @@ def timed_pair(make_loss, x, label):
 
     t_f = scan_time(fwd)
     t_fb = scan_time(fb)
+    t_full = None
+    if weights:
+        def full():
+            def loss_all(xi, ws):
+                return make_loss(xi, ws)
+            g = jax.grad(loss_all, argnums=(0, 1))
+
+            def body(carry, _):
+                gx, gws = g(x + carry, weights)
+                tot = jnp.sum(gx.astype(jnp.float32))
+                for gw in jax.tree_util.tree_leaves(gws):
+                    tot = tot + jnp.sum(gw.astype(jnp.float32))
+                return carry + 1e-6 * tot, None
+            return jax.lax.scan(body, jnp.float32(0), None, length=K)[0]
+
+        t_full = scan_time(full)
+    extra = f"  f+d+w {t_full:7.3f}" if t_full is not None else ""
     print(f"  {label:12s} fwd {t_f:7.3f}  f+b {t_fb:7.3f}  "
-          f"bwd {t_fb - t_f:7.3f} ms")
-    return t_f, t_fb
+          f"dgrad {t_fb - t_f:7.3f}{extra} ms")
+    return t_f, t_fb, t_full
 
 
 def main():
@@ -147,17 +172,18 @@ def main():
     err3 = float(jnp.max(jnp.abs(got3.astype(jnp.float32)
                                  - want.astype(jnp.float32))))
 
-    def conv4(xf_):
+    wf2_tuple = tuple(wf2[(py, px)] for py in range(2) for px in range(2))
+
+    def conv4(xf_, ws=wf2_tuple):
         pads = {0: (1, 0), 1: (0, 1)}
-        outs = {}
-        for (py, px), w_ in wf2.items():
-            outs[(py, px)] = jax.lax.conv_general_dilated(
+        outs = []
+        for (py, px), w_ in zip(((py, px) for py in range(2)
+                                 for px in range(2)), ws):
+            outs.append(jax.lax.conv_general_dilated(
                 xf_, w_.astype(xf_.dtype), (1, 1),
                 [pads[py], pads[px]],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jnp.concatenate([outs[(py, px)]
-                                for py in range(2) for px in range(2)],
-                               axis=-1)
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        return jnp.concatenate(outs, axis=-1)
 
     got2 = conv4(xf)
     err2 = float(jnp.max(jnp.abs(got2.astype(jnp.float32)
@@ -171,30 +197,31 @@ def main():
     print(f"\nblock1 conv {B}x{H}x{W}x{C}->{F} (useful {flops/1e9:.1f} "
           f"GFLOP; s2d-3x3 computes 4x that, s2d-2x2x4 1.78x)")
 
-    def loss_unfolded(xi):
-        return jnp.sum(jnp.square(conv(xi, wk).astype(jnp.float32)))
+    def loss_unfolded(xi, ws=(wk,)):
+        return jnp.sum(jnp.square(conv(xi, ws[0]).astype(jnp.float32)))
 
-    def loss_s2d3(xi):
+    def loss_s2d3(xi, ws=(wf3,)):
         return jnp.sum(jnp.square(conv(space_to_depth(xi),
-                                       wf3).astype(jnp.float32)))
+                                       ws[0]).astype(jnp.float32)))
 
-    def loss_s2d2(xi):
-        return jnp.sum(jnp.square(conv4(space_to_depth(xi))
+    def loss_s2d2(xi, ws=wf2_tuple):
+        return jnp.sum(jnp.square(conv4(space_to_depth(xi), ws)
                                   .astype(jnp.float32)))
 
     # folded arms include the fold itself (integration would pay it once
     # per block, not per conv — so also time the pre-folded input arms)
-    def loss_s2d3_prefolded(xi):
-        return jnp.sum(jnp.square(conv(xi, wf3).astype(jnp.float32)))
+    def loss_s2d3_prefolded(xi, ws=(wf3,)):
+        return jnp.sum(jnp.square(conv(xi, ws[0]).astype(jnp.float32)))
 
-    def loss_s2d2_prefolded(xi):
-        return jnp.sum(jnp.square(conv4(xi).astype(jnp.float32)))
+    def loss_s2d2_prefolded(xi, ws=wf2_tuple):
+        return jnp.sum(jnp.square(conv4(xi, ws).astype(jnp.float32)))
 
-    timed_pair(loss_unfolded, x, "unfolded")
-    timed_pair(loss_s2d3, x, "s2d-3x3")
-    timed_pair(loss_s2d2, x, "s2d-2x2x4")
-    timed_pair(loss_s2d3_prefolded, xf, "s2d-3x3-pre")
-    timed_pair(loss_s2d2_prefolded, xf, "s2d-2x2x4-pre")
+    timed_pair(loss_unfolded, x, "unfolded", weights=(wk,))
+    timed_pair(loss_s2d3, x, "s2d-3x3", weights=(wf3,))
+    timed_pair(loss_s2d2, x, "s2d-2x2x4", weights=wf2_tuple)
+    timed_pair(loss_s2d3_prefolded, xf, "s2d-3x3-pre", weights=(wf3,))
+    timed_pair(loss_s2d2_prefolded, xf, "s2d-2x2x4-pre",
+               weights=wf2_tuple)
 
 
 if __name__ == "__main__":
