@@ -117,18 +117,20 @@ def timed_pair(make_loss, x, label, weights=()):
     model says small-C convs starve (its GEMM output is only 9*Cin rows
     x F lanes), so an A/B without it would miss the dominant term.
     """
+    # carry in x.dtype: an f32 carry would promote `x + carry` (and the
+    # whole conv under timing) to f32 — the training step runs bf16
     def fwd():
         def body(carry, _):
-            return carry + 1e-6 * make_loss(x + carry), None
-        return jax.lax.scan(body, jnp.float32(0), None, length=K)[0]
+            return (carry + 1e-6 * make_loss(x + carry)).astype(x.dtype), None
+        return jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=K)[0]
 
     def fb():
         g = jax.grad(lambda xi: make_loss(xi))
 
         def body(carry, _):
-            return carry + 1e-6 * jnp.sum(
-                g(x + carry).astype(jnp.float32)), None
-        return jax.lax.scan(body, jnp.float32(0), None, length=K)[0]
+            return (carry + 1e-6 * jnp.sum(
+                g(x + carry).astype(jnp.float32))).astype(x.dtype), None
+        return jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=K)[0]
 
     t_f = scan_time(fwd)
     t_fb = scan_time(fb)
@@ -144,8 +146,9 @@ def timed_pair(make_loss, x, label, weights=()):
                 tot = jnp.sum(gx.astype(jnp.float32))
                 for gw in jax.tree_util.tree_leaves(gws):
                     tot = tot + jnp.sum(gw.astype(jnp.float32))
-                return carry + 1e-6 * tot, None
-            return jax.lax.scan(body, jnp.float32(0), None, length=K)[0]
+                return (carry + 1e-6 * tot).astype(x.dtype), None
+            return jax.lax.scan(body, jnp.zeros((), x.dtype), None,
+                                length=K)[0]
 
         t_full = scan_time(full)
     extra = f"  f+d+w {t_full:7.3f}" if t_full is not None else ""

@@ -31,24 +31,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _resolve(path: str) -> str:
     """Follow CheckpointManager's pointer conventions (io/checkpoint.py)."""
-    p = os.path.abspath(path)
-    if os.path.isfile(p + ".current"):
-        return open(p + ".current").read().strip()
-    pointer = os.path.join(p, "checkpoint.current")
-    if os.path.isdir(p) and os.path.isfile(pointer):
-        return open(pointer).read().strip()
-    return p
+    from shotvae_tpu.io.checkpoint import resolve_checkpoint_path
+
+    return resolve_checkpoint_path(path)
 
 
 def _sniff_kind(params: dict, net_name: str) -> tuple:
     """-> (kind, encoder_kind). WRN and PreActResNet basic blocks share
-    our naming, so the trunk family inside a VAE comes from net_name."""
+    our naming, so the trunk family inside a VAE comes from net_name;
+    with no usable net_name the sniff is ambiguous and refuses rather
+    than silently exporting WRN-named keys for a preact tree."""
     def trunk_kind(tree, name):
         if any(k.startswith("denseblock") for k in tree):
             return "densenet"
         if "preactresnet" in name:
             return "preactresnet"
-        return "wideresnet"
+        if "wideresnet" in name:
+            return "wideresnet"
+        raise SystemExit(
+            "cannot sniff the trunk family: WRN and PreActResNet trees "
+            f"share our naming and the stored net_name ({name!r}) names "
+            "neither — pass --kind (or --encoder-kind for a VAE) "
+            "explicitly")
 
     if "feature_extractor" in params:
         return "vae", trunk_kind(params["feature_extractor"], net_name)
@@ -86,8 +90,16 @@ def main(argv=None) -> int:
 
     params = restored.get("params") or {}
     stats = restored.get("batch_stats") or {}
+    if not params:
+        raise SystemExit(
+            f"no 'params' tree in {path} — not a shotvae_tpu checkpoint "
+            "payload (raw orbax dirs must hold the manager's "
+            "{params, batch_stats, opt_state, step} dict)")
     net_name = str(meta.get("config", {}).get("net_name", ""))
-    kind, enc = _sniff_kind(params, net_name)
+    kind = enc = None
+    if args.kind == "auto" or (args.kind == "vae"
+                               and args.encoder_kind == "auto"):
+        kind, enc = _sniff_kind(params, net_name)
     if args.kind != "auto":
         kind = args.kind
     if args.encoder_kind != "auto":

@@ -29,6 +29,27 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def resolve_checkpoint_path(path: str,
+                            names: tuple = ("checkpoint", "best")) -> str:
+    """Resolve an explicit path per the manager's pointer conventions.
+
+    Accepts a pointer-managed name (``<path>.current`` file beside it), a
+    run folder containing ``<name>.current`` for any of ``names`` (first
+    match wins), or a raw orbax directory (returned as-is). Shared by
+    CheckpointManager.restore and scripts/export_torch_checkpoint.py so
+    the slot/pointer layout has a single authority.
+    """
+    p = os.path.abspath(path)
+    if os.path.isfile(p + ".current"):
+        return open(p + ".current").read().strip()
+    if os.path.isdir(p):
+        for name in names:
+            pointer = os.path.join(p, name + ".current")
+            if os.path.isfile(pointer):
+                return open(pointer).read().strip()
+    return p
+
+
 class CheckpointManager:
     def __init__(self, base_path: str, dataset: str, train_time: int,
                  *, tag: str = "SHOT-VAE"):
@@ -70,14 +91,8 @@ class CheckpointManager:
 
     def _resolve(self, best: bool, path: Optional[str]) -> str:
         if path:
-            p = os.path.abspath(path)
             # accept a pointer-managed name, a raw orbax dir, or a folder
-            if os.path.isfile(os.path.join(p + ".current")):
-                return open(p + ".current").read().strip()
-            pointer = os.path.join(p, self._name(best) + ".current")
-            if os.path.isdir(p) and os.path.isfile(pointer):
-                return open(pointer).read().strip()
-            return p
+            return resolve_checkpoint_path(path, (self._name(best),))
         pointer = self._pointer(self._name(best))
         if os.path.isfile(pointer):
             return open(pointer).read().strip()

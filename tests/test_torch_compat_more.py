@@ -123,6 +123,11 @@ class TestSmoothVaeImport:
         np.testing.assert_allclose(np.asarray(dist["cont"][0]),
                                    t_dist["cont"][0].numpy(), rtol=1e-3,
                                    atol=1e-3)
+        # logvar: eval reparam uses only the mean, so without this the
+        # fc_log_var import is pinned by no forward comparison
+        np.testing.assert_allclose(np.asarray(dist["cont"][1]),
+                                   t_dist["cont"][1].numpy(), rtol=1e-3,
+                                   atol=1e-3)
         np.testing.assert_allclose(np.asarray(dist["disc"][0]),
                                    t_dist["disc"][0].numpy(), rtol=1e-3,
                                    atol=1e-3)
@@ -172,6 +177,11 @@ class TestSmoothVaeSvhnImport:
             train=False)
         np.testing.assert_allclose(np.asarray(dist["cont"][0]),
                                    t_dist["cont"][0].numpy(), rtol=1e-3,
+                                   atol=1e-3)
+        # logvar: eval reparam uses only the mean, so without this the
+        # fc_log_var import is pinned by no forward comparison
+        np.testing.assert_allclose(np.asarray(dist["cont"][1]),
+                                   t_dist["cont"][1].numpy(), rtol=1e-3,
                                    atol=1e-3)
         np.testing.assert_allclose(np.asarray(dist["disc"][0]),
                                    t_dist["disc"][0].numpy(), rtol=1e-3,
