@@ -365,6 +365,46 @@ class TestExportCheckpointScript:
                                  data_parallel=False, small_input=True)
         ref.load_state_dict(payload["state_dict"], strict=True)
 
+        # the run FOLDER also resolves (checkpoint.current pointer inside)
+        out2 = str(tmp_path / "model2.pth.tar")
+        assert script.main(["--ckpt", cm.folder, "--out", out2]) == 0
+        p2 = torch.load(out2)["state_dict"]
+        for k, v in payload["state_dict"].items():
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(p2[k]))
+
+    def test_script_guards(self, tmp_path):
+        """Auto-sniff refuses WRN/preact-ambiguous trees with no usable
+        net_name; a payload without a params tree errors instead of
+        writing an empty .pth.tar."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "export_torch_checkpoint_g",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "export_torch_checkpoint.py"))
+        script = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(script)
+
+        ambiguous = {"pre_process": {}, "block1_unit1": {}}
+        with pytest.raises(SystemExit, match="cannot sniff"):
+            script._sniff_kind(ambiguous, "")
+        # a usable net_name disambiguates
+        assert script._sniff_kind(ambiguous, "preactresnet18")[0] == \
+            "preactresnet"
+        assert script._sniff_kind(ambiguous, "wideresnet-28-2")[0] == \
+            "wideresnet"
+
+        import orbax.checkpoint as ocp
+
+        raw = tmp_path / "raw_tree"
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(str(raw), {"weights": np.zeros((2, 2), np.float32)})
+        ckptr.wait_until_finished()
+        with pytest.raises(SystemExit, match="no 'params' tree"):
+            script.main(["--ckpt", str(raw),
+                         "--out", str(tmp_path / "never.pth.tar")])
+        assert not (tmp_path / "never.pth.tar").exists()
+
 
 class TestVaeAltEncoderImport:
     """The importer's trunk dispatch: a preactresnet encoder inside the
