@@ -25,12 +25,22 @@ Env overrides for the other BASELINE.json configs (docs/PERF.md table):
   BENCH_BATCH=512 BENCH_STEPS=20
 vs_baseline is only defined for the headline protocol (shot/m2, where the
 derived reference estimate applies); other kinds report null.
+
+Outage contract: before measuring, the accelerator is probed with a tiny
+matmul in a subprocess under a BENCH_PROBE_TIMEOUT-second timeout (default
+60, one retry) — the axon tunnel can hang for hours and an in-process hang
+is uninterruptible. On probe failure (or any exception mid-benchmark) ONE
+structured JSON line is still printed, with "error": "tpu_unavailable" |
+"benchmark_failed" and value/vs_baseline null, and rc=1 — a red capture is
+parseable, never a bare traceback (tests/test_bench_contract.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -38,6 +48,52 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_ESTIMATE_IMG_PER_SEC = 900.0
+
+# The axon tunnel can go down for hours (CLAUDE.md gotchas): even
+# jax.devices() then hangs network-blocked. Probe the backend with a tiny
+# matmul in a SUBPROCESS under a hard timeout (a hang cannot be interrupted
+# in-process), retry once, and emit structured JSON on failure so a red
+# capture is distinguishable from a broken benchmark.
+_PROBE_SRC = ("import jax, jax.numpy as jnp; "
+              "jax.block_until_ready(jnp.ones((128, 128)) @ "
+              "jnp.ones((128, 128)))")
+PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT", "60"))
+
+
+def _probe_backend(retries: int = 1) -> str | None:
+    """Returns None if the accelerator answers, else a short failure tag.
+
+    BENCH_PROBE_CMD overrides the probe command (tests use this to simulate
+    an outage); BENCH_SKIP_PROBE=1 skips entirely.
+    """
+    if os.environ.get("BENCH_SKIP_PROBE") == "1":
+        return None
+    override = os.environ.get("BENCH_PROBE_CMD")
+    cmd = (["/bin/sh", "-c", override] if override
+           else [sys.executable, "-c", _PROBE_SRC])
+    err = "probe_not_run"
+    for _ in range(retries + 1):
+        try:
+            r = subprocess.run(cmd, timeout=PROBE_TIMEOUT_S,
+                               capture_output=True, text=True)
+            if r.returncode == 0:
+                return None
+            tail = (r.stderr or r.stdout or "").strip().splitlines()
+            err = f"probe_rc_{r.returncode}: {tail[-1][:160] if tail else ''}"
+        except subprocess.TimeoutExpired:
+            err = f"probe_timeout_{int(PROBE_TIMEOUT_S)}s"
+    return err
+
+
+def _emit_error(kind: str, detail: str) -> None:
+    print(json.dumps({
+        "metric": f"{KIND}_bench",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": kind,
+        "detail": detail,
+    }))
 
 KIND = os.environ.get("BENCH_KIND", "shot")
 NET_NAME = os.environ.get("BENCH_NET", "wideresnet-28-2")
@@ -185,6 +241,18 @@ def _smooth_bench(svhn: bool):
 
 
 def main():
+    probe_err = _probe_backend()
+    if probe_err is not None:
+        _emit_error("tpu_unavailable", probe_err)
+        return 1
+    try:
+        return _run_benchmark()
+    except Exception as e:  # backend can die between probe and measurement
+        _emit_error("benchmark_failed", repr(e)[:300])
+        return 1
+
+
+def _run_benchmark():
     if KIND == "shot":
         setup = _vae_bench(m2=False)
     elif KIND == "m2":
@@ -218,7 +286,8 @@ def main():
         "vs_baseline": (round(img_per_sec / REF_ESTIMATE_IMG_PER_SEC, 2)
                         if has_baseline else None),
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

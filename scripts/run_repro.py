@@ -136,6 +136,7 @@ def _run_synthetic(args) -> int:
     # ---- phase 2: resume from the kill point, run to completion ----
     t1 = time.time()
     cfg2 = make_cfg(resume=ckpt)
+    base_ewm = cfg2.ewm  # pre-run value; the x5 bump check is relative to it
     out = run_shot_vae(cfg2, log_fn=lambda *a: None)
     hist = out["history"]
     secs = [h["seconds"] for h in hist]
@@ -154,7 +155,7 @@ def _run_synthetic(args) -> int:
             float(np.median(secs[half:])), 2) if half else None,
         "epoch_seconds_p90": round(float(np.percentile(secs, 90)), 2),
         "best_valid_top1": out["best_valid_acc"],
-        "ewm_bumped_x5": bool(cfg2.ewm > 0.9 * 5 * 1e-3) if args.epochs
+        "ewm_bumped_x5": bool(cfg2.ewm > 0.9 * 5 * base_ewm) if args.epochs
         > 400 else None,
     }
     report["probe_resumed_through_epoch"] = probe_to

@@ -157,7 +157,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                              "checkpointing incl. best/final — benchmarks "
                              "and smoke runs)")
     parser.add_argument("--profile-dir", default="", type=str,
-                        help="write a jax.profiler trace of one epoch here")
+                        help="write a jax.profiler trace of one epoch here. "
+                             "WARNING: jax.profiler.start_trace is known to "
+                             "HANG on axon-tunnel TPU setups (CLAUDE.md "
+                             "gotchas) — the loop probes the profiler in a "
+                             "60s-bounded thread first and skips tracing "
+                             "with a warning if it stalls")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() so the data "
                              "mesh spans all hosts (DCN); every process must "

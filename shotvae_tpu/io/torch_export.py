@@ -14,6 +14,13 @@ Reference models built with ``data_parallel=True`` name their leaves with
 ``.module`` wrappers at model-specific places (e.g. shot_vae_model/vae.py
 :96-132 wraps each submodule); use :func:`insert_module_wrappers` with the
 target model's own key list to produce the wrapped names exactly.
+
+Known limitation: BatchNorm ``num_batches_tracked`` is exported as 0 (this
+framework does not count BN update steps). Irrelevant for inference and for
+continued training at torch's default ``momentum=0.1``; ONLY if a torch
+user continues training with ``momentum=None`` (cumulative averaging) would
+running stats be re-weighted as if freshly initialized. The reference
+models all use the default momentum, so this cannot bite reference code.
 """
 
 from __future__ import annotations

@@ -75,7 +75,7 @@ def _pick_tile(batch: int, rows_per_image: int, cin: int, cout: int,
     at 4096 rows to keep the M-tiling MXU-friendly.
     """
     weights = 9 * cin * cout * itemsize
-    best = 1
+    best = 0
     for tb in range(1, batch + 1):
         if batch % tb:
             continue
@@ -87,6 +87,14 @@ def _pick_tile(batch: int, rows_per_image: int, cin: int, cout: int,
                + m * cout * (4 + itemsize))
         if use <= vmem_budget:
             best = tb
+    if best == 0:
+        # even a 1-image tile overflows VMEM (huge Cin/Cout) — fail with a
+        # clear error here rather than an opaque Mosaic compile failure;
+        # callers should use the XLA path (reference_bn_act_conv) instead
+        raise ValueError(
+            f"fused conv working set exceeds the {vmem_budget} B VMEM "
+            f"budget even at batch tile 1 (cin={cin}, cout={cout}, "
+            f"rows/img={rows_per_image}); use the XLA reference path")
     return best
 
 

@@ -14,11 +14,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_bench(extra_env):
-    env = dict(os.environ, BENCH_BATCH="16", BENCH_STEPS="2", **extra_env)
+    env = dict(os.environ, BENCH_BATCH="16", BENCH_STEPS="2",
+               BENCH_SKIP_PROBE="1")
+    env.update(extra_env)
     code = (
-        "import jax;"
+        "import sys, jax;"
         "jax.config.update('jax_platforms','cpu');"
-        "import bench; bench.main()"
+        "import bench; sys.exit(bench.main())"
     )
     return subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
                           capture_output=True, text=True, timeout=600)
@@ -43,6 +45,43 @@ class TestBenchContract:
         rec = json.loads([l for l in proc.stdout.splitlines()
                           if l.startswith("{")][0])
         assert rec["vs_baseline"] is None
+        assert rec["value"] > 0
+
+
+class TestBenchOutageContract:
+    """A dead/hung backend must yield rc=1 AND one structured-JSON error
+    line, never a raw traceback with no parseable output (the BENCH_r03
+    failure mode: the 2026-08-17 axon-tunnel outage left parsed=null)."""
+
+    def _assert_structured_error(self, proc, kind):
+        assert proc.returncode == 1, (proc.stdout, proc.stderr[-500:])
+        json_lines = [l for l in proc.stdout.splitlines()
+                      if l.startswith("{")]
+        assert len(json_lines) == 1, proc.stdout
+        rec = json.loads(json_lines[0])
+        assert rec["error"] == kind
+        assert rec["value"] is None and rec["vs_baseline"] is None
+        assert rec["unit"] == "images/sec/chip"
+        assert rec["detail"]
+
+    def test_probe_failure_emits_structured_json(self):
+        proc = _run_bench({"BENCH_SKIP_PROBE": "",
+                           "BENCH_PROBE_CMD": "exit 3"})
+        self._assert_structured_error(proc, "tpu_unavailable")
+
+    def test_probe_hang_times_out_to_structured_json(self):
+        proc = _run_bench({"BENCH_SKIP_PROBE": "",
+                           "BENCH_PROBE_CMD": "sleep 30",
+                           "BENCH_PROBE_TIMEOUT": "1"})
+        self._assert_structured_error(proc, "tpu_unavailable")
+        assert "probe_timeout" in proc.stdout
+
+    def test_probe_passes_through_on_success(self):
+        proc = _run_bench({"BENCH_SKIP_PROBE": "", "BENCH_PROBE_CMD": "true",
+                           "BENCH_KIND": "classifier"})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        rec = json.loads([l for l in proc.stdout.splitlines()
+                          if l.startswith("{")][0])
         assert rec["value"] > 0
 
 
