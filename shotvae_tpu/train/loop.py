@@ -95,6 +95,38 @@ def _chunk_keys(epoch_key, c0: int, n: int):
         jnp.arange(c0, c0 + n))
 
 
+def _start_trace_guarded(profile_dir: str, log_fn, timeout_s: float = 60.0):
+    """Bounded ``jax.profiler.start_trace``: the call is known to HANG on
+    axon-tunnel TPU setups (CLAUDE.md gotchas), so it runs in a daemon
+    thread under a timeout and the trace is skipped (with a warning)
+    rather than hanging the training run. Returns True iff tracing is
+    active and ``stop_trace`` must be called. If the abandoned thread ever
+    completes after the timeout the trace leaks until process exit —
+    acceptable for a diagnostics path that would otherwise deadlock."""
+    import threading
+
+    done = threading.Event()
+    err = []
+
+    def _go():
+        try:
+            jax.profiler.start_trace(profile_dir)
+        except Exception as e:  # noqa: BLE001 - diagnostics must not kill the run
+            err.append(e)
+        done.set()
+
+    threading.Thread(target=_go, daemon=True).start()
+    if not done.wait(timeout_s):
+        log_fn(f"WARNING: jax.profiler.start_trace stalled >{timeout_s:.0f}s "
+               "(known axon-tunnel hang) — skipping the profile trace")
+        return False
+    if err:
+        log_fn(f"WARNING: jax.profiler.start_trace failed ({err[0]!r}) — "
+               "skipping the profile trace")
+        return False
+    return True
+
+
 def _prepare_writer_dir(log_dir: str, *, resume: bool, assume_yes: bool,
                         train_time: int):
     """Interactive removal guard (main_shot_vae.py:215-219) with --yes escape."""
@@ -247,12 +279,13 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
     best_valid_acc = -1.0
     history = []
     profile_dir = getattr(cfg, "profile_dir", "")
+    trace_active = False
     total_epochs = max_epochs if max_epochs is not None else cfg.epochs
     for epoch in range(start_epoch, total_epochs):
         if profile_dir and epoch == start_epoch + 1:
             # trace the second epoch (first is compile-dominated);
             # SURVEY.md §5.1: optional jax.profiler hooks
-            jax.profiler.start_trace(profile_dir)
+            trace_active = _start_trace_guarded(profile_dir, log_fn)
         epoch_key = jax.random.fold_in(base_key, epoch)
         # data-order RNG is EPOCH-KEYED (not a stream advanced across
         # epochs) so a resume from epoch e replays exactly the batches the
@@ -279,6 +312,9 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
             u_batches = list(epoch_batches(rng_u, split.unlabeled,
                                            cfg.batch_size))
             l_batches = [next(labeled_iter) for _ in u_batches]
+            # full-epoch index prep happens above, outside per-chunk cost —
+            # restart the clock so the first chunk's meters aren't distorted
+            end = time.time()
             for c0 in range(0, len(u_batches), spc):
                 idx_u_c = np.stack(u_batches[c0:c0 + spc])
                 idx_l_c = np.stack(l_batches[c0:c0 + spc])
@@ -322,8 +358,9 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                     log_fn(f"Epoch: [{epoch}][{i + 1}/{steps_per_epoch}]\t"
                            f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})"
                            f"\tData {data_time.val:.3f} ({data_time.avg:.3f})")
-        if profile_dir and epoch == start_epoch + 1:
+        if trace_active and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
+            trace_active = False
         writer.scalar("Train/KL_Inference",
                       float(kl_inf_sum) / max(n_steps, 1), epoch + 1)
         if epoch % cfg.reconstruct_freq == 0:
