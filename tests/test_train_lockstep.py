@@ -539,27 +539,37 @@ def _torch_smooth_forward(torch, ref, x, eps, unif=None, onehot=None):
     return recon, dist
 
 
-def _torch_smooth_loss(torch, x, recon, dist, num_steps, onehot=None):
-    """_loss_function (main_smooth_ELBO_mnist.py:228-302) re-evaluated."""
+def _torch_smooth_loss(torch, x, recon, dist, num_steps, onehot=None,
+                       cont_cap=None, disc_cap=None, alpha_w=None, k=None):
+    """_loss_function (main_smooth_ELBO_mnist.py:228-302) re-evaluated.
+
+    Defaults are the MNIST trainer's constants; the SVHN trainer
+    (main_smooth_ELBO_svhn.py:232-305) runs the IDENTICAL math with
+    different constants (caps (0,50,50000,1), alpha 1500) and nn.BCELoss
+    in place of F.binary_cross_entropy (same function underneath)."""
     F = torch.nn.functional
+    cont_cap = SM_CONT_CAP if cont_cap is None else cont_cap
+    disc_cap = SM_DISC_CAP if disc_cap is None else disc_cap
+    alpha_w = SM_ALPHA if alpha_w is None else alpha_w
+    k = SM_K if k is None else k
     P = x.numel() // x.size(0)
     recon_loss = F.mse_loss(recon.view(-1, P), x.view(-1, P)) * P
     mean, logvar = dist["cont"]
     kl_values = -0.5 * (1 + logvar - mean.pow(2) - logvar.exp())
     kl_cont = torch.sum(torch.mean(kl_values, dim=0))
-    c_min, c_max, c_iters, c_gamma = SM_CONT_CAP
+    c_min, c_max, c_iters, c_gamma = cont_cap
     c_cap = min((c_max - c_min) * num_steps / c_iters + c_min, c_max)
     cont_cap_loss = c_gamma * torch.abs(c_cap - kl_cont)
     alpha = dist["disc"][0]
     neg_ent = torch.mean(torch.sum(alpha * torch.log(alpha + SM_EPS), dim=1))
-    kl_disc = math.log(SM_K) + neg_ent
-    d_min, d_max, d_iters, d_gamma = SM_DISC_CAP
+    kl_disc = math.log(k) + neg_ent
+    d_min, d_max, d_iters, d_gamma = disc_cap
     d_cap = min((d_max - d_min) * num_steps / d_iters + d_min, d_max,
-                math.log(SM_K))
+                math.log(k))
     disc_cap_loss = d_gamma * torch.abs(d_cap - kl_disc)
     loss = recon_loss + cont_cap_loss + disc_cap_loss
     if onehot is not None:
-        loss = loss + SM_ALPHA * F.binary_cross_entropy(alpha, onehot)
+        loss = loss + alpha_w * F.binary_cross_entropy(alpha, onehot)
     return loss
 
 
