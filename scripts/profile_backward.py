@@ -204,10 +204,88 @@ def conv_ceilings(convs):
     return out
 
 
+# ---------------------------------------------------------------------------
+# decoder ConvT ceilings (VERDICT r3 #4): the same lane/depth/M-tile model,
+# applied to BOTH lowering strategies for a k4/s2 transposed conv
+# ---------------------------------------------------------------------------
+
+
+def convt_ceilings(stages):
+    """[(label, B,H,W,Cin,Cout,k,s)] (H,W = INPUT spatial; out = H*s) ->
+    per-ConvT fwd/dgrad/wgrad occupancy for both lowerings, as fractions of
+    peak over the USEFUL FLOPs 2*B*H*W*k*k*Cin*Cout.
+
+    subpixel (models/layers.py TorchConvTranspose default): the k4/s2
+    upsample factors into s^2 sub-kernels of (k/s)^2 taps, evaluated as ONE
+    k/s-conv with s^2*Cout output channels on the un-dilated input:
+      fwd:   M=B*H*W      N=Cout*s^2   K=Cin*(k/s)^2      (all MACs useful)
+      dgrad: M=B*H*W      N=Cin        K=Cout*k*k
+      wgrad: M=Cin*(k/s)^2  N=Cout*s^2  K=B*H*W
+    lhs_dilation (XLA's native conv_transpose): a k-conv over the s-dilated
+    input — fwd/wgrad touch s^2 more MACs than useful (the inserted zeros
+    are multiplied, not skipped), so their USEFUL-flop ceiling divides by
+    s^2; dgrad of a ConvT is a plain stride-s conv and pays no penalty:
+      fwd:   M=B*Ho*Wo   N=Cout  K=Cin*k*k   useful 1/s^2
+      dgrad: M=B*H*W     N=Cin   K=Cout*k*k  useful 1
+      wgrad: M=Cin*k*k   N=Cout  K=B*Ho*Wo   useful 1/s^2
+    k1/s1 (up0) degenerates to the same plain GEMM in both forms.
+    """
+
+    def occ(M, N, Kd, useful=1.0):
+        mtile = M / (-(-M // 128) * 128)
+        return min(N, 128) / 128.0 * min(Kd, 128) / 128.0 * mtile * useful
+
+    out = []
+    for (label, B, H, W, cin, cout, k, s) in stages:
+        ho, wo = H * s, W * s
+        fl = 2.0 * B * H * W * k * k * cin * cout
+        ks = max(k // s, 1)
+        sub = {
+            "fwd": occ(B * H * W, cout * s * s, cin * ks * ks),
+            "dgrad": occ(B * H * W, cin, cout * k * k),
+            "wgrad": occ(cin * ks * ks, cout * s * s, B * H * W),
+        }
+        dil = {
+            "fwd": occ(B * ho * wo, cout, cin * k * k, 1.0 / (s * s)),
+            "dgrad": occ(B * H * W, cin, cout * k * k),
+            "wgrad": occ(cin * k * k, cout, B * ho * wo, 1.0 / (s * s)),
+        }
+        out.append({"label": label, "flops": fl, "sub": sub, "dil": dil})
+    return out
+
+
+class DecoderStage(nn.Module):
+    """One decoder up-stage: ConvT (+BN+ReLU unless final), prod shapes."""
+
+    features: int
+    kernel: tuple
+    strides: tuple
+    padding: str
+    final: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from shotvae_tpu.models.layers import (BatchNorm, TorchConvTranspose,
+                                               relu)
+
+        x = TorchConvTranspose(self.features, self.kernel,
+                               strides=self.strides, padding=self.padding,
+                               use_bias=False, dtype=self.dtype, name="up")(x)
+        if self.final:
+            return x
+        return relu(BatchNorm(use_running_average=not train,
+                              dtype=self.dtype, name="norm")(x))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--net", default="wideresnet-28-2")
     p.add_argument("--batch", type=int, default=768)
+    p.add_argument("--decoder-stages", action="store_true",
+                   help="also time each decoder up-stage individually and "
+                        "reconcile against the ConvT ceilings (6 extra "
+                        "compiles, ~5 min on the tunnel)")
     args = p.parse_args()
     B = args.batch
 
@@ -310,6 +388,82 @@ def main():
               f"({100 * rf / c_fwd:5.1f}%)   "
               f"bwd {rb:6.1f} / ceil {c_bwd:6.1f} TF/s "
               f"({100 * rb / c_bwd:5.1f}%)")
+
+    # ---- decoder ConvT ceilings (VERDICT r3 #4) ----
+    # stage list mirrors models/decoder.py for img 32x32 (kernel_size 1x1)
+    latent = 128 + K  # continuous_latent_dim + disc (vae.py:118-124)
+    dstages = [("up0 k1 138->1024 @1", B, 1, 1, latent, 1024, 1, 1),
+               ("up1 k4s2 1024->512 @1->2", B, 1, 1, 1024, 512, 4, 2),
+               ("up2 k4s2 512->256 @2->4", B, 2, 2, 512, 256, 4, 2),
+               ("up3 k4s2 256->128 @4->8", B, 4, 4, 256, 128, 4, 2),
+               ("up4 k4s2 128->64 @8->16", B, 8, 8, 128, 64, 4, 2),
+               ("up5 k4s2 64->3 @16->32", B, 16, 16, 64, 3, 4, 2)]
+    drows = convt_ceilings(dstages)
+    print("\ndecoder ConvT occupancy ceilings over USEFUL FLOPs "
+          "(subpixel form = models/layers.py default; lhs_dilation for "
+          "reference):")
+    print(f"{'stage':26s} {'GFLOP':>7s} "
+          f"{'sub f/d/w occ':>20s} {'dil f/d/w occ':>20s} "
+          f"{'sub fwd ceil':>12s} {'sub bwd ceil':>12s}")
+    for r in drows:
+        sub, dil = r["sub"], r["dil"]
+        t_bwd = r["flops"] / (PEAK_TFLOPS * sub["dgrad"]) \
+            + r["flops"] / (PEAK_TFLOPS * sub["wgrad"])
+        c_bwd = 2 * r["flops"] / t_bwd
+        print(f"{r['label']:26s} {r['flops'] / 1e9:7.2f} "
+              f"{sub['fwd']:6.2f}/{sub['dgrad']:.2f}/{sub['wgrad']:.2f} "
+              f"{dil['fwd']:6.2f}/{dil['dgrad']:.2f}/{dil['wgrad']:.2f} "
+              f"{PEAK_TFLOPS * sub['fwd']:11.1f} {c_bwd:11.1f}")
+    dfl = sum(r["flops"] for r in drows)
+    d_tf = sum(r["flops"] / (PEAK_TFLOPS * r["sub"]["fwd"]) for r in drows)
+    d_tb = sum(r["flops"] / (PEAK_TFLOPS * r["sub"]["dgrad"])
+               + r["flops"] / (PEAK_TFLOPS * r["sub"]["wgrad"])
+               for r in drows)
+    dec_c_fwd, dec_c_bwd = dfl / d_tf, 2 * dfl / d_tb
+    mrow = next((r for r in rows if r[0].startswith("decoder")), None)
+    if mrow is not None:
+        _, tf_ms, tb_ms, _, ffl, bfl, rf, rb = mrow
+        print(f"  decoder blended: fwd {rf:6.1f} / ceil {dec_c_fwd:6.1f} "
+              f"TF/s ({100 * rf / dec_c_fwd:5.1f}%)   "
+              f"bwd {rb:6.1f} / ceil {dec_c_bwd:6.1f} TF/s "
+              f"({100 * rb / dec_c_bwd:5.1f}%)")
+
+    if args.decoder_stages:
+        print("\nper-up-stage decoder timing (x4 passes, scan K=10):")
+        srows = []
+        time_stage("up0 (138->1024 @1)",
+                   DecoderStage(1024, (1, 1), (1, 1), "VALID"),
+                   (B, 1, 1, latent), jax.random.fold_in(key, 10), srows)
+        time_stage("up1 (1024->512 @1->2)",
+                   DecoderStage(512, (4, 4), (2, 2), "SAME"),
+                   (B, 1, 1, 1024), jax.random.fold_in(key, 11), srows)
+        time_stage("up2 (512->256 @2->4)",
+                   DecoderStage(256, (4, 4), (2, 2), "SAME"),
+                   (B, 2, 2, 512), jax.random.fold_in(key, 12), srows)
+        time_stage("up3 (256->128 @4->8)",
+                   DecoderStage(128, (4, 4), (2, 2), "SAME"),
+                   (B, 4, 4, 256), jax.random.fold_in(key, 13), srows)
+        time_stage("up4 (128->64 @8->16)",
+                   DecoderStage(64, (4, 4), (2, 2), "SAME"),
+                   (B, 8, 8, 128), jax.random.fold_in(key, 14), srows)
+        time_stage("up5 (64->3 @16->32)",
+                   DecoderStage(3, (4, 4), (2, 2), "SAME", final=True),
+                   (B, 16, 16, 64), jax.random.fold_in(key, 15), srows)
+        print(hdr)
+        for (name, tf, tb, tfb, ff, fb, rf, rb) in srows:
+            print(f"{name:28s} {tf:7.2f} {tb:7.2f} {tfb:7.2f} "
+                  f"{ff:6.2f} {fb:6.2f} {rf:8.1f} {rb:8.1f}")
+        print("\nper-up-stage ceiling reconciliation (subpixel form):")
+        for (name, tf, tb, tfb, ff, fb, rf, rb), r in zip(srows, drows):
+            sub = r["sub"]
+            t_bwd = r["flops"] / (PEAK_TFLOPS * sub["dgrad"]) \
+                + r["flops"] / (PEAK_TFLOPS * sub["wgrad"])
+            c_bwd = 2 * r["flops"] / t_bwd
+            c_fwd = PEAK_TFLOPS * sub["fwd"]
+            print(f"  {name:26s} fwd {rf:6.1f} / ceil {c_fwd:6.1f} TF/s "
+                  f"({100 * rf / c_fwd:5.1f}%)   "
+                  f"bwd {rb:6.1f} / ceil {c_bwd:6.1f} TF/s "
+                  f"({100 * rb / c_bwd:5.1f}%)")
 
 
 if __name__ == "__main__":
