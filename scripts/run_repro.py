@@ -62,47 +62,74 @@ def _run_synthetic(args) -> int:
     report = {"status": "RAN_SYNTHETIC", "net": args.net_name,
               "epochs": args.epochs, "kill_epoch": args.kill_epoch}
 
-    # ---- phase 1: the reference command (README.md:84-88) + synthetic
-    # data, as a subprocess we SIGKILL once it passes --kill-epoch ----
-    cmd = [sys.executable, "-m", "shotvae_tpu.cli.main_shot_vae",
-           "-bp", base, "--dataset", "Cifar10", "--net-name", args.net_name,
-           "--br", "--om", "--epochs", str(args.epochs), "--yes",
-           "--synthetic-data", "--synthetic-size", str(args.synthetic_size),
-           "--steps-per-call", str(args.steps_per_call)]
-    t0 = time.time()
-    env = dict(os.environ, PYTHONUNBUFFERED="1")  # line-latency kill trigger
-    proc = subprocess.Popen(cmd, cwd=repo, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, env=env)
-    phase1_epochs = []
-    killed = False
-    for line in proc.stdout:
-        if line.startswith("Epoch ") and "valid top1" in line:
-            ep = int(line.split()[1].rstrip(":"))
-            phase1_epochs.append(ep)
-            if ep >= args.kill_epoch:
-                proc.send_signal(signal.SIGKILL)   # a real mid-flight kill
-                killed = True
-                break
-    proc.wait()
-    report["phase1"] = {"epochs_seen": len(phase1_epochs),
-                        "last_epoch": phase1_epochs[-1] if phase1_epochs
-                        else None,
-                        "sigkilled": killed,
-                        "seconds": round(time.time() - t0, 1)}
-    if not killed:
-        report["status"] = "PHASE1_DIED_EARLY"
-        print(json.dumps(report, indent=2))
-        return 1
-
     ckpt = os.path.join(base, "Cifar10-SHOT-VAE", "parameter",
                         "train_time_1", "checkpoint")
+
+    if args.resume_at is not None:
+        # ---- continuation mode: a prior invocation's training process was
+        # killed/wedged mid-flight (e.g. the 2026-08-19 axon-tunnel outage
+        # froze the phase-2 trainer mid-dispatch at epoch 380/600, and it
+        # was SIGKILLed) and its per-epoch A/B-slot checkpoints survive.
+        # Treat the existing checkpoint as the kill point — the same
+        # contract as the SIGKILL path, with an infrastructure-genuine
+        # interruption — and run the probe + phase 2 from it. ----
+        meta_path = ckpt + ".slot0.meta.json"
+        alt = ckpt + ".slot1.meta.json"
+        last = max((json.load(open(p))["epoch"] for p in (meta_path, alt)
+                    if os.path.exists(p)), default=None)
+        if last is None:
+            report["status"] = "NO_CHECKPOINT_TO_RESUME"
+            print(json.dumps(report, indent=2))
+            return 1
+        phase1_epochs = [last]
+        report["phase1"] = {"epochs_seen": None, "last_epoch": last,
+                            "sigkilled": True,
+                            "interrupted_by": args.resume_at,
+                            "seconds": None}
+    else:
+        # ---- phase 1: the reference command (README.md:84-88) + synthetic
+        # data, as a subprocess we SIGKILL once it passes --kill-epoch ----
+        cmd = [sys.executable, "-m", "shotvae_tpu.cli.main_shot_vae",
+               "-bp", base, "--dataset", "Cifar10", "--net-name",
+               args.net_name,
+               "--br", "--om", "--epochs", str(args.epochs), "--yes",
+               "--synthetic-data", "--synthetic-size",
+               str(args.synthetic_size),
+               "--steps-per-call", str(args.steps_per_call)]
+        t0 = time.time()
+        env = dict(os.environ, PYTHONUNBUFFERED="1")  # line-latency kill
+        proc = subprocess.Popen(cmd, cwd=repo, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True, env=env)
+        phase1_epochs = []
+        killed = False
+        for line in proc.stdout:
+            if line.startswith("Epoch ") and "valid top1" in line:
+                ep = int(line.split()[1].rstrip(":"))
+                phase1_epochs.append(ep)
+                if ep >= args.kill_epoch:
+                    proc.send_signal(signal.SIGKILL)  # real mid-flight kill
+                    killed = True
+                    break
+        proc.wait()
+        report["phase1"] = {"epochs_seen": len(phase1_epochs),
+                            "last_epoch": phase1_epochs[-1] if phase1_epochs
+                            else None,
+                            "sigkilled": killed,
+                            "seconds": round(time.time() - t0, 1)}
+        if not killed:
+            report["status"] = "PHASE1_DIED_EARLY"
+            print(json.dumps(report, indent=2))
+            return 1
 
     def make_cfg(**kw):
         return ShotVaeConfig(
             base_path=base, dataset="Cifar10", net_name=args.net_name,
             br=True, om=True, epochs=args.epochs, yes=True, ckpt_every=1,
             synthetic_data=True, synthetic_size=args.synthetic_size,
-            steps_per_call=args.steps_per_call, **kw)
+            steps_per_call=args.steps_per_call,
+            batch_size=args.batch_size, ldc=args.ldc, bf16=not args.no_bf16,
+            valid_per_class=args.valid_per_class,
+            annotated_per_class=args.annotated_per_class, **kw)
 
     # ---- determinism probe: two resumes, two epochs each, bit-compare.
     # The probe's own per-epoch saves would advance the A/B checkpoint
@@ -189,7 +216,19 @@ def main(argv=None):
                    help="run the full recipe on synthetic data with a "
                         "mid-flight SIGKILL + resume (system validation)")
     p.add_argument("--kill-epoch", type=int, default=300)
+    p.add_argument("--resume-at", default=None, metavar="REASON",
+                   help="skip phase 1 and treat the newest existing "
+                        "checkpoint under --base-path as the kill point "
+                        "(continuation after an external interruption; the "
+                        "string is recorded as phase1.interrupted_by)")
     p.add_argument("--synthetic-size", type=int, default=50000)
+    p.add_argument("--batch-size", type=int, default=768,
+                   help="per-stream batch (non-default values are for "
+                        "smoke-scale runs, e.g. the CPU regression test)")
+    p.add_argument("--ldc", type=int, default=128)
+    p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--valid-per-class", type=int, default=0)
+    p.add_argument("--annotated-per-class", type=int, default=0)
     p.add_argument("--skip-determinism-probe", action="store_true")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="scan N train steps per dispatch (see cli/common.py;"

@@ -39,3 +39,17 @@ import jax as _jax
 # across backends — irrelevant here (the reference has no cross-platform
 # RNG contract either).
 _jax.config.update("jax_default_prng_impl", "rbg")
+
+# Persistent XLA compile cache, shared by every entry point (CLI mains,
+# scripts, tests, the driver contract). The full b768 train step costs
+# 40-500 s to compile over the axon tunnel; a process restart (crash
+# recovery, resume, repeated benchmarks) pays it again without this.
+# Cache failures are non-fatal inside jax (it falls back to compiling).
+# Override the location — or disable with an empty value — via
+# SHOTVAE_COMPILE_CACHE.
+import os as _os
+
+_cache_dir = _os.environ.get("SHOTVAE_COMPILE_CACHE", "/tmp/shotvae_jax_cache")
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
