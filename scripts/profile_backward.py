@@ -391,7 +391,8 @@ def main():
 
     # ---- decoder ConvT ceilings (VERDICT r3 #4) ----
     # stage list mirrors models/decoder.py for img 32x32 (kernel_size 1x1)
-    latent = 128 + K  # continuous_latent_dim + disc (vae.py:118-124)
+    latent = 128 + 10  # continuous_latent_dim + disc_dim (vae.py:118-124);
+    # NOT the scan constant K, which only coincidentally equals 10
     dstages = [("up0 k1 138->1024 @1", B, 1, 1, latent, 1024, 1, 1),
                ("up1 k4s2 1024->512 @1->2", B, 1, 1, 1024, 512, 4, 2),
                ("up2 k4s2 512->256 @2->4", B, 2, 2, 512, 256, 4, 2),
