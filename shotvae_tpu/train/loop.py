@@ -298,14 +298,17 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
             cfg.batch_size)
         rng_u = np.random.default_rng([cfg.seed + 2, epoch])
         epoch_t0 = time.time()
-        sched = _sched_to_device(shot_vae_epoch_schedules(epoch, cfg))
+        sched_host = shot_vae_epoch_schedules(epoch, cfg)
+        sched = _sched_to_device(sched_host)
         batch_time = AverageMeter()
         data_time = AverageMeter()
-        # KL_Inference accumulates EVERY batch like the reference meter
-        # (main_shot_vae.py:340) — as a device scalar (a lazy scalar add per
-        # step, no host sync); one device_get per epoch.
-        kl_inf_sum = jnp.float32(0.0)
-        loss_sum = jnp.float32(0.0)
+        # Every scalar train metric accumulates EVERY batch like the
+        # reference KL_Inference meter (main_shot_vae.py:340) — as device
+        # scalars (lazy adds per step, no host sync); ONE device_get per
+        # epoch. The per-term decomposition (recon/KL/posterior per stream)
+        # lands in history so a rising scheduled total is attributable to
+        # the ew/pwm/ucw ramps rather than divergence.
+        sums_dev: dict = {}
         n_steps = 0
         end = time.time()
         if spc > 1:
@@ -322,8 +325,10 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                 data_time.update((time.time() - end) / n, n)
                 state, ms = run_chunk(state, (idx_l_c, idx_u_c), (sched,),
                                       _chunk_keys(epoch_key, c0, n))
-                kl_inf_sum = kl_inf_sum + jnp.sum(ms["kl_inference"])
-                loss_sum = loss_sum + jnp.sum(ms["loss"])
+                for k, v in ms.items():
+                    if getattr(v, "ndim", 0) == 1:  # (n,) per-step scalars
+                        sums_dev[k] = sums_dev.get(k, jnp.float32(0.0)) \
+                            + jnp.sum(v)
                 n_steps += n
                 batch_time.update((time.time() - end) / n, n)
                 end = time.time()
@@ -343,8 +348,9 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                 state, t_metrics = train_jit(
                     state, jnp.asarray(idx_l), jnp.asarray(idx_u), sched,
                     jax.random.fold_in(epoch_key, i))
-                kl_inf_sum = kl_inf_sum + t_metrics["kl_inference"]
-                loss_sum = loss_sum + t_metrics["loss"]
+                for k, v in t_metrics.items():
+                    if getattr(v, "ndim", 0) == 0:
+                        sums_dev[k] = sums_dev.get(k, jnp.float32(0.0)) + v
                 n_steps += 1
                 batch_time.update(time.time() - end)
                 end = time.time()
@@ -361,8 +367,10 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         if trace_active and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
             trace_active = False
+        train_terms = {k: float(v) / max(n_steps, 1)
+                       for k, v in jax.device_get(sums_dev).items()}
         writer.scalar("Train/KL_Inference",
-                      float(kl_inf_sum) / max(n_steps, 1), epoch + 1)
+                      train_terms.get("kl_inference", 0.0), epoch + 1)
         if epoch % cfg.reconstruct_freq == 0:
             # Train/Raw_Image + Reconstruct_Image grids (":378-383"); uses an
             # eval-mode forward on the last unlabeled batch (the reference
@@ -429,7 +437,9 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
                f"test top1 {test_acc:.4f}")
         history.append({"epoch": epoch, "valid_top1": valid_acc,
                         "test_top1": test_acc,
-                        "train_loss": float(loss_sum) / max(n_steps, 1),
+                        "train_loss": train_terms.get("loss", 0.0),
+                        "train_terms": train_terms,
+                        "sched": {k: float(v) for k, v in sched_host.items()},
                         "seconds": time.time() - epoch_t0})
 
         # Cifar10 ewm x5 bump at the first milestone (":255-258", SHOT only).
@@ -595,7 +605,8 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
                f"test {out['Test']['top1_rate']:.4f}")
         history.append({"epoch": epoch,
                         "valid_top1": out["Valid"]["top1_rate"],
-                        "test_top1": out["Test"]["top1_rate"]})
+                        "test_top1": out["Test"]["top1_rate"],
+                        "train_loss": losses.avg})
     writer.close()
     return {"history": history, "train_losses": train_losses, "state": state}
 

@@ -98,7 +98,10 @@ class TestCeilingModels:
                       (2, 4, 4, 8), jax.random.key(0), rows,
                       x_dtype=jnp.float32, passes=1)
         (name, t_f, t_b, t_fb, *_rest) = rows[0]
-        assert t_f > 0 and t_fb >= t_f
+        # compile/run smoke only: fwd+bwd strictly supersets fwd, but the
+        # two are timed separately and this 1-core host can invert the
+        # wall-clock ordering under load — no ordering assert (ADVICE r4)
+        assert t_f > 0 and t_fb > 0
 
 
 class TestSpaceToDepthFolds:

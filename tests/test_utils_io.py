@@ -39,6 +39,25 @@ class TestMetricAccumulator:
         assert avg["count"] == 10
 
 
+class TestScoreLabelDict:
+    """lib/utils/utils.py:8-21 parity: max-pool key-aligned score/label dicts."""
+
+    def test_max_pooled_in_insertion_order(self):
+        from shotvae_tpu.utils import get_score_label_array_from_dict
+
+        score = {"a": [0.1, 0.9, 0.5], "b": [0.2], "c": [0.4, 0.3]}
+        label = {"a": [0, 1], "b": [0], "c": [1, 1]}
+        s, l = get_score_label_array_from_dict(score, label)
+        np.testing.assert_allclose(s, [0.9, 0.2, 0.4])
+        np.testing.assert_allclose(l, [1, 0, 1])
+
+    def test_length_mismatch_raises(self):
+        from shotvae_tpu.utils import get_score_label_array_from_dict
+
+        with pytest.raises(AssertionError):
+            get_score_label_array_from_dict({"a": [1.0]}, {})
+
+
 class TestDistMetrics:
     def test_euclidean(self):
         a = jnp.array([[0.0, 0.0], [1.0, 1.0]])
