@@ -101,6 +101,21 @@ EFFICIENT = os.environ.get("BENCH_EFFICIENT", "") == "1"  # densenet remat
 BATCH = int(os.environ.get("BENCH_BATCH", "768"))
 WARMUP_STEPS = 3
 MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+# BENCH_REPORT_FLOPS=1 adds step_tflop + mfu to the JSON line (used by
+# scripts/bench_matrix.py); costs one extra AOT compile per run.
+REPORT_FLOPS = os.environ.get("BENCH_REPORT_FLOPS", "") == "1"
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
+
+
+def _flops_per_step(fn, *args) -> float:
+    """XLA's f32-equivalent FLOP estimate of one compiled step
+    (``cost_analysis()['flops']`` — same accounting as
+    scripts/profile_breakdown.py)."""
+    structs = [jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), a)
+        for a in args]
+    cost = jax.jit(fn).lower(*structs).compile().cost_analysis() or {}
+    return float(cost.get("flops", 0.0))
 
 SCHED = dict(cmi=0.0, dmi=2.3, ew=1e-3, kl_beta_c=1e-3, kl_beta_d=1e-3,
              pwm=1.0, ucw=1.0)
@@ -153,7 +168,10 @@ def _vae_bench(m2: bool):
     name = "m2" if m2 else "shotvae"
     metric = (f"{name}_{NET_NAME.replace('-', '')}"
               "_cifar10_unlabeled_images_per_sec_per_chip")
-    return state, one_step, dp.num_devices, metric, True
+    idx0 = jnp.zeros((BATCH,), jnp.int32)
+    flops_thunk = lambda: _flops_per_step(  # noqa: E731
+        step_by_index, state, idx0, idx0, sched, jax.random.key(0))
+    return state, one_step, dp.num_devices, metric, True, flops_thunk
 
 
 def _classifier_bench():
@@ -188,7 +206,10 @@ def _classifier_bench():
 
     metric = (f"classifier_{NET_NAME.replace('-', '')}"
               "_cifar10_images_per_sec_per_chip")
-    return state, one_step, dp.num_devices, metric, False
+    idx0 = jnp.zeros((BATCH,), jnp.int32)
+    flops_thunk = lambda: _flops_per_step(  # noqa: E731
+        step_by_index, state, idx0, jax.random.key(0))
+    return state, one_step, dp.num_devices, metric, False, flops_thunk
 
 
 def _smooth_bench(svhn: bool):
@@ -234,10 +255,13 @@ def _smooth_bench(svhn: bool):
     metric = f"smooth_elbo_{name}_unlabeled_images_per_sec_per_chip"
     global BATCH
     BATCH = bu
+    flops_thunk = lambda: _flops_per_step(  # noqa: E731
+        step_by_index, state, jnp.zeros((bu,), jnp.int32),
+        jnp.zeros((bl,), jnp.int32), jax.random.key(0))
     # the smooth trainer runs single-device (plain jit, unreplicated state;
     # the reference smooth scripts are single-GPU too) — report n_chips=1 so
     # per-chip throughput stays correct on multi-chip hosts
-    return state, one_step, 1, metric, False
+    return state, one_step, 1, metric, False, flops_thunk
 
 
 def main():
@@ -265,7 +289,10 @@ def _run_benchmark():
         setup = _smooth_bench(svhn=True)
     else:
         raise SystemExit(f"unknown BENCH_KIND {KIND!r}")
-    state, one_step, n_chips, metric, has_baseline = setup
+    state, one_step, n_chips, metric, has_baseline, flops_thunk = setup
+
+    # flops BEFORE the loop: the state buffers get donated during it
+    step_flops = flops_thunk() if REPORT_FLOPS else None
 
     for i in range(WARMUP_STEPS):
         state, m = one_step(state, i)
@@ -279,13 +306,20 @@ def _run_benchmark():
 
     img_per_sec = MEASURE_STEPS * BATCH / dt
     per_chip = img_per_sec / n_chips
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": (round(img_per_sec / REF_ESTIMATE_IMG_PER_SEC, 2)
                         if has_baseline else None),
-    }))
+    }
+    if step_flops is not None:
+        step_s = dt / MEASURE_STEPS
+        line["step_ms"] = round(step_s * 1e3, 2)
+        line["step_tflop"] = round(step_flops / 1e12, 3)
+        line["mfu"] = round(step_flops / step_s / n_chips
+                            / (PEAK_TFLOPS * 1e12), 3)
+    print(json.dumps(line))
     return 0
 
 

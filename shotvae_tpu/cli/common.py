@@ -174,6 +174,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         help="scan N train steps inside one jitted dispatch "
                              "(same keys/draws; cuts host dispatch "
                              "overhead N-fold on slow/tunneled hosts)")
+    parser.add_argument("--global-mixup", action="store_true",
+                        help="with --bn-per-replica: draw mixup/"
+                             "label-smoothing partners over the GLOBAL batch "
+                             "(all_gather), matching DataParallel's "
+                             "gathered-device-0 mixup exactly; default draws "
+                             "within each replica's shard")
     return parser
 
 
@@ -210,5 +216,6 @@ def config_from_args(args) -> ShotVaeConfig:
         valid_per_class=args.valid_per_class,
         annotated_per_class=args.annotated_per_class,
         bn_per_replica=args.bn_per_replica,
-        steps_per_call=args.steps_per_call)
+        steps_per_call=args.steps_per_call,
+        global_mixup=args.global_mixup)
     return cfg

@@ -75,6 +75,8 @@ class ShotVaeConfig:
     bn_per_replica: bool = False  # DataParallel-faithful per-replica BN stats
     steps_per_call: int = 1       # scan N train steps per host dispatch
     #   (same keys/draws; N-fold fewer dispatches on slow hosts)
+    global_mixup: bool = False    # with bn_per_replica: mixup partners over
+    #   the all_gathered GLOBAL batch (DataParallel-faithful)
 
     def apply_dataset_overrides(self, *, m2: bool = False) -> "DatasetSpec":
         """Per-dataset hard-coded overrides + dataset facts, in one place."""

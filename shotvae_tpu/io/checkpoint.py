@@ -52,12 +52,51 @@ def resolve_checkpoint_path(path: str,
 
 class CheckpointManager:
     def __init__(self, base_path: str, dataset: str, train_time: int,
-                 *, tag: str = "SHOT-VAE"):
+                 *, tag: str = "SHOT-VAE", prewarm: bool = True):
         self.folder = os.path.join(
             base_path, f"{dataset}-{tag}", "parameter", f"train_time_{train_time}")
         os.makedirs(self.folder, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self._next_slot = {"checkpoint": 0, "best": 0}
+        self._prewarm_thread = None
+        if prewarm:
+            self._start_prewarm()
+
+    def _start_prewarm(self):
+        """Hide the ~200 s first-save tensorstore init behind epoch 0.
+
+        The FIRST orbax/tensorstore save in a process costs ~200 s on this
+        image (one-time library init over the axon tunnel; later saves are
+        ~0.1 s — CLAUDE.md gotchas, VERDICT r4 #5). Saving a tiny dummy
+        array from a daemon thread at manager construction overlaps that
+        init with epoch-0 compile+train instead of stalling inside the
+        first real ``save``. Best-effort: any failure just means the real
+        save pays the init as before. ``save`` joins the thread so the two
+        never run concurrently.
+        """
+        import threading
+
+        import numpy as np
+
+        def _go():
+            try:
+                path = os.path.abspath(os.path.join(self.folder, ".prewarm"))
+                shutil.rmtree(path, ignore_errors=True)
+                ck = ocp.StandardCheckpointer()
+                ck.save(path, {"x": np.zeros(1, np.float32)}, force=True)
+                ck.wait_until_finished()
+                ck.close()
+                shutil.rmtree(path, ignore_errors=True)
+            except Exception:  # noqa: BLE001 - prewarm must never kill a run
+                pass
+
+        self._prewarm_thread = threading.Thread(target=_go, daemon=True)
+        self._prewarm_thread.start()
+
+    def _join_prewarm(self):
+        if self._prewarm_thread is not None:
+            self._prewarm_thread.join()
+            self._prewarm_thread = None
 
     def _name(self, best: bool) -> str:
         return "best" if best else "checkpoint"
@@ -74,6 +113,7 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        self._join_prewarm()
         name = self._name(best)
         slot = self._next_slot[name]
         self._next_slot[name] = 1 - slot

@@ -51,7 +51,8 @@ from shotvae_tpu.train.state import TrainState, adam_torch, init_model, sgd_torc
 from shotvae_tpu.utils import AverageMeter, MetricAccumulator
 
 
-def _make_chunk_runner(dp: DataParallel, step_by_index):
+def _make_chunk_runner(dp: DataParallel, step_by_index,
+                       axis_name: Optional[str] = None):
     """``--steps-per-call`` chunk dispatcher: lax.scan N train steps inside
     ONE jitted call. Per-step keys/draws/order are identical to per-step
     dispatch; the scan body is a different compiled program than the
@@ -67,7 +68,15 @@ def _make_chunk_runner(dp: DataParallel, step_by_index):
     (batch,) int32 index arrays (stacked to (n, batch), batch axis sharded
     over the mesh), ``extras`` are chunk-invariant pytrees (e.g. the epoch
     schedule dict). One jit per distinct chunk length (the tail chunk
-    compiles once more)."""
+    compiles once more).
+
+    ``axis_name`` composes chunking with ``--bn-per-replica``: the scan runs
+    INSIDE ``shard_map`` (scan-of-shard_map would re-enter SPMD per step;
+    shard_map-of-scan keeps one collective-bearing program), so each device
+    scans its local batch shards with its OWN BatchNorm statistics and the
+    step's pmean collectives execute per scan iteration — the same
+    DataParallel-faithful semantics as the unchunked ``shard_map_step``
+    (nn.DataParallel per-replica BN, shot_vae_model/vae.py:96-132)."""
     chunk_jits = {}
     sh = NamedSharding(dp.mesh, PartitionSpec(None, dp.axis_name))
 
@@ -80,7 +89,19 @@ def _make_chunk_runner(dp: DataParallel, step_by_index):
     def run(state, idx_chunks, extras, keys):
         n = len(keys)
         if n not in chunk_jits:
-            chunk_jits[n] = jax.jit(chunk_fn, donate_argnums=(0,))
+            if axis_name is None:
+                fn = chunk_fn
+            else:
+                n_idx = len(idx_chunks)
+                fn = jax.shard_map(
+                    chunk_fn, mesh=dp.mesh,
+                    in_specs=(PartitionSpec(),
+                              tuple(PartitionSpec(None, axis_name)
+                                    for _ in range(n_idx)),
+                              PartitionSpec(), PartitionSpec()),
+                    out_specs=(PartitionSpec(), PartitionSpec()),
+                    check_vma=False)
+            chunk_jits[n] = jax.jit(fn, donate_argnums=(0,))
         idx_chunks = tuple(jax.device_put(jnp.asarray(a), sh)
                            for a in idx_chunks)
         return chunk_jits[n](state, idx_chunks, extras, keys)
@@ -216,7 +237,10 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
     state = dp.replicate(TrainState.create(
         apply_fn=model.apply, params=params, batch_stats=batch_stats, tx=tx))
 
-    ckpt = CheckpointManager(cfg.base_path, spec.name, cfg.train_time, tag=tag)
+    # prewarm only when this run will actually save (ckpt_every=0 benchmark
+    # runs must not get a 200s background tensorstore init on the tunnel)
+    ckpt = CheckpointManager(cfg.base_path, spec.name, cfg.train_time, tag=tag,
+                             prewarm=cfg.ckpt_every > 0)
     start_epoch = cfg.start_epoch
     if cfg.resume:
         state, start_epoch, stored_cfg = ckpt.restore(state, path=cfg.resume)
@@ -235,6 +259,11 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
 
     # per-replica BN (DataParallel-faithful) runs the step under shard_map
     axis_name = dp.axis_name if getattr(cfg, "bn_per_replica", False) else None
+    global_mixup = getattr(cfg, "global_mixup", False)
+    if global_mixup and axis_name is None:
+        raise ValueError("--global-mixup requires --bn-per-replica (the "
+                         "default GSPMD mode already mixes over the global "
+                         "batch)")
     if m2:
         raw_step = steps_lib.make_m2_train_step(
             model, num_classes=spec.num_classes, bce=cfg.br,
@@ -243,7 +272,7 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         raw_step = steps_lib.make_shot_vae_train_step(
             model, num_classes=spec.num_classes, bce=cfg.br,
             x_sigma=cfg.x_sigma, epsilon=cfg.epsilon, optimal_match=cfg.om,
-            axis_name=axis_name)
+            axis_name=axis_name, global_mixup=global_mixup)
     raw_eval = steps_lib.make_vae_eval_step(
         model, num_classes=spec.num_classes, bce=cfg.br, x_sigma=cfg.x_sigma)
 
@@ -264,10 +293,7 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         train_jit = dp.jit_step(step_by_index, batch_argnums=(0, 1))
 
     spc = max(1, int(getattr(cfg, "steps_per_call", 1)))
-    if spc > 1 and axis_name is not None:
-        raise ValueError("--steps-per-call > 1 requires the default GSPMD "
-                         "mode (not --bn-per-replica)")
-    run_chunk = _make_chunk_runner(dp, step_by_index)
+    run_chunk = _make_chunk_runner(dp, step_by_index, axis_name=axis_name)
 
     ev_valid = dp.jit_step(eval_factory(train_ds), batch_argnums=(0, 1),
                            donate_state=False)
@@ -541,10 +567,7 @@ def run_classifier(cfg, *, max_epochs: Optional[int] = None,
     else:
         train_jit = dp.jit_step(step_by_index, batch_argnums=(0,))
     spc = max(1, int(getattr(cfg, "steps_per_call", 1)))
-    if spc > 1 and axis_name is not None:
-        raise ValueError("--steps-per-call > 1 requires the default GSPMD "
-                         "mode (not --bn-per-replica)")
-    run_chunk = _make_chunk_runner(dp, step_by_index)
+    run_chunk = _make_chunk_runner(dp, step_by_index, axis_name=axis_name)
     ev_valid = dp.jit_step(eval_factory(train_ds), batch_argnums=(0, 1),
                            donate_state=False)
     ev_test = dp.jit_step(eval_factory(test_ds), batch_argnums=(0, 1),
@@ -780,7 +803,8 @@ def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
             lr_scale = plateau.step(mean_loss)
     logf.close()
 
+    # constructed right before its only save — nothing to overlap a prewarm with
     ckpt = CheckpointManager(cfg.base_path, dataset.upper(), cfg.train_time,
-                             tag="One-Stage-VAE")
+                             tag="One-Stage-VAE", prewarm=False)
     ckpt.save(state, epoch=total_epochs, config=cfg.asdict())
     return {"history": history, "state": state, "log_path": log_path}

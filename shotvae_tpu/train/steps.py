@@ -78,6 +78,33 @@ def _cross_replica(grads, new_bs, metrics, axis_name, bn_stats):
     return grads, new_bs, metrics
 
 
+def gather_mixup(axis_name, fn, key, arrays, local_batch, **kw):
+    """Run a mixup/label-smoothing draw over the GLOBAL batch under shard_map.
+
+    DataParallel parity for the per-replica-BN mode: the reference's mixup
+    operates on tensors nn.DataParallel has gathered to device 0, so lambda
+    and the partner permutation span the GLOBAL batch
+    (main_shot_vae.py:297-322); the mixed batch is then re-scattered by the
+    next forward. Equivalent here: ``all_gather`` the (small) inputs along
+    ``axis_name``, compute the interpolation with a replica-SHARED key
+    (identical draw on every replica), and slice this replica's rows back
+    out. ``fn`` is ``mixup.label_smoothing`` or ``mixup.mixup_vae_data``.
+    """
+    g = [jax.lax.all_gather(a, axis_name, axis=0, tiled=True) for a in arrays]
+    out = fn(key, *g, **kw)
+    r = jax.lax.axis_index(axis_name)
+
+    def sl(t):
+        if t is None:
+            return None
+        return jax.lax.dynamic_slice_in_dim(t, r * local_batch, local_batch,
+                                            axis=0)
+
+    return mixup.MixupBatch(sl(out.image), sl(out.z_mean), sl(out.z_sigma),
+                            sl(out.disc_alpha), sl(out.partner_labels),
+                            out.lam)
+
+
 def _inject_noise(inject, eps_key, unif_key=None):
     """Assemble the per-forward ``noise`` dict from a replay-injection dict.
 
@@ -121,6 +148,7 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
                              fused_streams: bool = False,
                              axis_name: str | None = None,
                              bn_stats: str = "replica0",
+                             global_mixup: bool = False,
                              aug: AugmentConfig = AugmentConfig()):
     """The SHOT-VAE hot loop as one jittable function.
 
@@ -138,7 +166,12 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
     are drawn within each replica's shard rather than over the global batch
     (DataParallel mixes globally because mixup happens on the gathered
     device-0 tensors, main_shot_vae.py:297-322) — same distribution, no
-    cross-replica pairs. Default (``axis_name=None``) is sync-BN GSPMD.
+    cross-replica pairs. ``global_mixup=True`` restores the DataParallel
+    behavior exactly: the partner draws run over the all_gathered global
+    batch with a replica-shared key (see ``gather_mixup``), at the cost of
+    one image+posterior all_gather per interpolation site. Default
+    (``axis_name=None``) is sync-BN GSPMD, where the batch is already
+    global and the flag is meaningless (rejected).
 
     ``fused_streams`` runs the labeled and unlabeled streams through TWO
     double-batch forwards ([x_l|x_u] and [smoothed_l|mixed_u]) instead of the
@@ -226,7 +259,7 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
         return total, (bs, metrics)
 
     def loss_fn(params, batch_stats, key, x_l, lab_l, x_u, lab_u, sched,
-                inject=None):
+                inject=None, shared_keys=None):
         keys = jax.random.split(key, 6)
         bs = batch_stats
         batch_l = x_l.shape[0]
@@ -247,10 +280,16 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
 
         # ---- labeled forward 2: label-smoothing interpolation (":297-322") ----
         sg = jax.lax.stop_gradient
-        sm = mixup.label_smoothing(keys[1], sg(x_l), sg(mean_l), sg(ls_l),
-                                   sg(la_l), lab_l, epsilon=epsilon,
-                                   lam=inj.get("lam_sm"),
-                                   index=inj.get("perm_sm"))
+        if shared_keys is not None:
+            sm = gather_mixup(axis_name, mixup.label_smoothing, shared_keys[0],
+                              (sg(x_l), sg(mean_l), sg(ls_l), sg(la_l), lab_l),
+                              batch_l, epsilon=epsilon,
+                              lam=inj.get("lam_sm"), index=inj.get("perm_sm"))
+        else:
+            sm = mixup.label_smoothing(keys[1], sg(x_l), sg(mean_l), sg(ls_l),
+                                       sg(la_l), lab_l, epsilon=epsilon,
+                                       lam=inj.get("lam_sm"),
+                                       index=inj.get("perm_sm"))
         (_, mean_sm, ls_sm, la_sm), bs = _apply_vae(
             model, params, bs, sm.image, keys[2], labels=lab_l, mixup=True,
             labels_mixup=sm.partner_labels, mixup_lam=sm.lam,
@@ -278,10 +317,16 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
         inference_kl = losses.inference_kl_metric(sg(la_u), lab_u, num_classes)
 
         # ---- unlabeled forward 4: posterior mixup (":348-362") ----
-        mx = mixup.mixup_vae_data(keys[4], sg(x_u), sg(mean_u), sg(ls_u),
-                                  sg(la_u), optimal_match=optimal_match,
-                                  lam=inj.get("lam_mx"),
-                                  index=inj.get("perm_mx"))
+        if shared_keys is not None:
+            mx = gather_mixup(axis_name, mixup.mixup_vae_data, shared_keys[1],
+                              (sg(x_u), sg(mean_u), sg(ls_u), sg(la_u)),
+                              batch_u, optimal_match=optimal_match,
+                              lam=inj.get("lam_mx"), index=inj.get("perm_mx"))
+        else:
+            mx = mixup.mixup_vae_data(keys[4], sg(x_u), sg(mean_u), sg(ls_u),
+                                      sg(la_u), optimal_match=optimal_match,
+                                      lam=inj.get("lam_mx"),
+                                      index=inj.get("perm_mx"))
         (_, mean_mx, ls_mx, la_mx), bs = _apply_vae(
             model, params, bs, mx.image, keys[5],
             noise=_inject_noise(inject, "eps_4", "unif_4"))
@@ -303,19 +348,33 @@ def make_shot_vae_train_step(model, *, num_classes: int, bce: bool,
         return total, (bs, metrics)
 
     chosen_loss_fn = fused_loss_fn if fused_streams else loss_fn
+    if global_mixup and axis_name is None:
+        raise ValueError("global_mixup requires the per-replica-BN shard_map "
+                         "mode (axis_name); the GSPMD batch is already global")
+    if global_mixup and fused_streams:
+        raise NotImplementedError(
+            "global_mixup is only supported on the 4-forward path")
 
     def step(state: TrainState, img_l, lab_l, img_u, lab_u, sched, key,
              inject=None):
         if inject is not None and fused_streams:
             raise NotImplementedError(
                 "replay injection is only supported on the 4-forward path")
+        shared_keys = None
         if axis_name is not None:
+            if global_mixup:
+                # pre-fold key: IDENTICAL on every replica, so the global
+                # lambda/partner draws agree across the mesh. The fold
+                # constant just separates this stream from the per-replica
+                # fold_in(key, axis_index) stream below.
+                shared_keys = jax.random.split(
+                    jax.random.fold_in(key, 987_654_321), 2)
             key = _fold_replica_key(key, axis_name)
         key_aug_l, key_aug_u, key_loss = jax.random.split(key, 3)
         x_l = _prepare(key_aug_l, img_l, aug, train=True)
         x_u = _prepare(key_aug_u, img_u, aug, train=True)
         grad_fn = jax.value_and_grad(chosen_loss_fn, has_aux=True)
-        extra = () if fused_streams else (inject,)
+        extra = () if fused_streams else (inject, shared_keys)
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, key_loss, x_l, lab_l, x_u, lab_u,
             sched, *extra)

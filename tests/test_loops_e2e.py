@@ -120,6 +120,27 @@ class TestShotVaeLoop:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_steps_per_call_with_bn_per_replica(self, tmp_path_factory):
+        """--steps-per-call composes with --bn-per-replica (VERDICT r4 #3):
+        the scan runs INSIDE shard_map, so chunked dispatch must match
+        per-step shard_map dispatch — same per-step keys, same local BN
+        shards, same pmean collectives — up to scan-body reassociation
+        noise (the same tolerance as the GSPMD equivalence test above)."""
+        base_a = str(tmp_path_factory.mktemp("pr_step"))
+        base_b = str(tmp_path_factory.mktemp("pr_chunk"))
+        kw = dict(ckpt_every=0, bn_per_replica=True)
+        out_a = run_shot_vae(_tiny_cfg(base_a, **kw),
+                             max_epochs=1, log_fn=lambda *a: None)
+        out_b = run_shot_vae(_tiny_cfg(base_b, steps_per_call=4, **kw),
+                             max_epochs=1, log_fn=lambda *a: None)
+        np.testing.assert_allclose(out_a["history"][0]["train_loss"],
+                                   out_b["history"][0]["train_loss"],
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(out_a["state"].params),
+                        jax.tree_util.tree_leaves(out_b["state"].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_m2_one_epoch(self, tmp_base):
         cfg = _tiny_cfg(tmp_base)
         out = run_shot_vae(cfg, m2=True, max_epochs=1, log_fn=lambda *a: None)
@@ -178,6 +199,30 @@ class TestClassifierLoop:
                                max_epochs=1, log_fn=lambda *a: None)
         out_b = run_classifier(_cfg(str(tmp_path_factory.mktemp("cls_chunk")),
                                     steps_per_call=4),  # 6 steps -> 4 + tail 2
+                               max_epochs=1, log_fn=lambda *a: None)
+        np.testing.assert_allclose(out_a["train_losses"], out_b["train_losses"],
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(out_a["state"].params),
+                        jax.tree_util.tree_leaves(out_b["state"].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_steps_per_call_with_bn_per_replica(self, tmp_path_factory):
+        """Chunked dispatch under per-replica BN matches per-step shard_map
+        dispatch on the classifier loop too (VERDICT r4 #3)."""
+        from shotvae_tpu.config import ClassifierConfig
+
+        def _cfg(base, **kw):
+            return ClassifierConfig(
+                base_path=base, dataset="Cifar10", batch_size=64,
+                net_name="wideresnet-10-1", synthetic_data=True,
+                synthetic_size=512, valid_per_class=5, annotated_per_class=35,
+                yes=True, print_freq=100, bf16=False, lr=0.05,
+                adjust_lr=[300, 350, 400], bn_per_replica=True, **kw)
+        out_a = run_classifier(_cfg(str(tmp_path_factory.mktemp("pr_cstep"))),
+                               max_epochs=1, log_fn=lambda *a: None)
+        out_b = run_classifier(_cfg(str(tmp_path_factory.mktemp("pr_cchunk")),
+                                    steps_per_call=4),
                                max_epochs=1, log_fn=lambda *a: None)
         np.testing.assert_allclose(out_a["train_losses"], out_b["train_losses"],
                                    rtol=1e-5, atol=1e-6)

@@ -1,5 +1,7 @@
 """Tests for meters, distance metrics, TB grid, checkpoint manager."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -105,6 +107,25 @@ class TestCheckpoint:
                                    np.arange(4.0))
         assert epoch == 5
         assert config["lr"] == 0.1
+
+    def test_prewarm_leaves_no_residue(self, tmp_path):
+        """The constructor's daemon-thread tensorstore prewarm (VERDICT r4
+        #5) must not race the first real save (save joins it) and must not
+        leave its scratch directory behind."""
+        from shotvae_tpu.io import CheckpointManager
+        from shotvae_tpu.train.state import TrainState, sgd_torch
+
+        state = TrainState.create(apply_fn=lambda: None,
+                                  params={"w": jnp.arange(3.0)},
+                                  batch_stats={}, tx=sgd_torch(0.1))
+        ckpt = CheckpointManager(str(tmp_path), "Cifar10", 3, prewarm=True)
+        ckpt.save(state, epoch=1, config={})
+        assert ckpt._prewarm_thread is None  # joined before the real save
+        assert not os.path.exists(os.path.join(ckpt.folder, ".prewarm"))
+        restored, epoch, _ = ckpt.restore(state)
+        np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                                   np.arange(3.0))
+        assert epoch == 1
 
     def test_missing_raises_filenotfound(self, tmp_path):
         from shotvae_tpu.io import CheckpointManager
