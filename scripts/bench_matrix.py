@@ -52,18 +52,45 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     only = set(filter(None, args.only.split(",")))
+    # resume: keep prior good rows, re-run errored/missing configs only —
+    # a wall-clock kill mid-matrix (observed: the first capture died at an
+    # outer 3600 s bound inside the densenet compile) must not lose the
+    # configs already measured, so the artifact is also written after
+    # EVERY config, not just at the end
     rows = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                rows = {k: v for k, v in json.load(f)["configs"].items()
+                        if not v.get("error")}
+        except (json.JSONDecodeError, KeyError):
+            rows = {}
+
+    def write_artifact():
+        artifact = {"protocol": "bench.py per config (BENCH_REPORT_FLOPS=1), "
+                                "probe-guarded, warmup 3 + measured steps",
+                    "steps": args.steps, "peak_tflops_bf16": 197,
+                    "configs": rows}
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+
     ok = True
     for label, env in CONFIGS:
         if only and label not in only:
             continue
+        if label in rows:
+            print(f"[{label}] cached: {json.dumps(rows[label])}", flush=True)
+            continue
         full_env = dict(os.environ, BENCH_REPORT_FLOPS="1",
                         BENCH_STEPS=str(args.steps), **env)
         t0 = time.time()
-        r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                           capture_output=True, text=True, env=full_env,
-                           timeout=1800)
-        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, env=full_env, timeout=1800)
+            line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        except subprocess.TimeoutExpired:
+            line = json.dumps({"error": "config_timeout_1800s"})
         try:
             row = json.loads(line)
         except json.JSONDecodeError:
@@ -71,14 +98,10 @@ def main(argv=None):
         row["wall_s"] = round(time.time() - t0, 1)
         rows[label] = row
         ok = ok and not row.get("error")
+        write_artifact()
         print(f"[{label}] {line}", flush=True)
 
-    artifact = {"protocol": "bench.py per config (BENCH_REPORT_FLOPS=1), "
-                            "probe-guarded, warmup 3 + measured steps",
-                "steps": args.steps, "peak_tflops_bf16": 197,
-                "configs": rows}
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=1)
+    write_artifact()
     print(json.dumps({"written": args.out, "n": len(rows), "all_ok": ok}))
     return 0 if ok else 1
 

@@ -90,6 +90,10 @@ def main():
         fl = flops_of(once_fn, *once_args) * mult
         rows.append((name, dt * 1e3, fl / 1e12,
                      (fl / dt) / 1e12 if dt else 0.0))
+        # incremental print: on a slow/congested tunnel the whole run can
+        # exceed an outer wall-clock bound — each measured row must survive
+        print(f"[row] {name}: {dt * 1e3:.2f} ms, {fl / 1e12:.3f} TFLOP, "
+              f"{(fl / dt) / 1e12 if dt else 0.0:.1f} TF/s", flush=True)
         return dt
 
     # ---- full train step (carry = state; fresh key per iter) ----
