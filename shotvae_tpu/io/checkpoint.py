@@ -20,9 +20,11 @@ Resume restores epoch, model and optimizer state, and the stored config dict
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
+import threading
 from typing import Any, Optional
 
 import jax
@@ -52,30 +54,43 @@ def resolve_checkpoint_path(path: str,
 
 class CheckpointManager:
     def __init__(self, base_path: str, dataset: str, train_time: int,
-                 *, tag: str = "SHOT-VAE", prewarm: bool = True):
+                 *, tag: str = "SHOT-VAE", prewarm: bool = True,
+                 async_save: bool = True):
         self.folder = os.path.join(
             base_path, f"{dataset}-{tag}", "parameter", f"train_time_{train_time}")
         os.makedirs(self.folder, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self._next_slot = {"checkpoint": 0, "best": 0}
         self._prewarm_thread = None
+        # async_save: ``save`` snapshots the state to host (fast; ~0.1 s at
+        # WRN-28-2 scale on this tunnel) and runs the tensorstore write +
+        # slot/pointer commit in ONE background writer thread, so the
+        # ~200 s first-write init (and every later ~0.1 s write) never
+        # stalls the train loop. Exactly one writer is outstanding: the
+        # next save/restore joins it first, preserving write order, the
+        # A/B-slot crash-safety contract (pointer updated only after
+        # orbax's atomic commit, now inside the writer), and surfacing any
+        # writer exception on the next manager call.
+        self._async = async_save
+        self._write_thread: Optional[threading.Thread] = None
+        self._write_error: Optional[BaseException] = None
+        atexit.register(self.wait_until_finished)
         if prewarm:
             self._start_prewarm()
 
     def _start_prewarm(self):
-        """Hide the ~200 s first-save tensorstore init behind epoch 0.
+        """Start the ~200 s one-time tensorstore init at construction.
 
         The FIRST orbax/tensorstore save in a process costs ~200 s on this
-        image (one-time library init over the axon tunnel; later saves are
-        ~0.1 s — CLAUDE.md gotchas, VERDICT r4 #5). Saving a tiny dummy
-        array from a daemon thread at manager construction overlaps that
-        init with epoch-0 compile+train instead of stalling inside the
-        first real ``save``. Best-effort: any failure just means the real
-        save pays the init as before. ``save`` joins the thread so the two
-        never run concurrently.
+        image (one-time library init over the axon tunnel; measured >1200 s
+        on a congested day — later saves are ~0.1 s; CLAUDE.md gotchas,
+        VERDICT r4 #5). Saving a tiny dummy array from a daemon thread at
+        manager construction overlaps that init with epoch-0 compile+train.
+        Best-effort: any failure just means the first real write pays the
+        init as before. The background WRITER joins this thread (not the
+        train loop), so prewarm and real writes never run concurrently and
+        the main thread never blocks on the init.
         """
-        import threading
-
         import numpy as np
 
         def _go():
@@ -98,6 +113,21 @@ class CheckpointManager:
             self._prewarm_thread.join()
             self._prewarm_thread = None
 
+    def _join_writer(self):
+        if self._write_thread is not None:
+            self._write_thread.join()
+            self._write_thread = None
+        if self._write_error is not None:
+            err, self._write_error = self._write_error, None
+            raise err
+
+    def wait_until_finished(self):
+        """Join the in-flight background write (and the prewarm); re-raise
+        any exception the writer hit. Registered atexit so the last
+        checkpoint always lands before the process exits."""
+        self._join_writer()
+        self._join_prewarm()
+
     def _name(self, best: bool) -> str:
         return "best" if best else "checkpoint"
 
@@ -106,27 +136,53 @@ class CheckpointManager:
 
     def save(self, state, *, epoch: int, config: Optional[dict] = None,
              best: bool = False):
-        """Save {params, batch_stats, opt_state, step} (+epoch/config meta)."""
-        payload = {
+        """Save {params, batch_stats, opt_state, step} (+epoch/config meta).
+
+        With ``async_save`` (default) this returns after the host snapshot
+        (~0.1 s at WRN-28-2 scale); the tensorstore write + meta + pointer
+        commit run in a background writer. The returned path is where the
+        checkpoint WILL land; call ``wait_until_finished`` to block on it.
+        """
+        payload = jax.device_get({
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
-        }
-        self._join_prewarm()
+        })
+        # one outstanding writer: join the previous write (and surface its
+        # error) before starting the next, preserving write/pointer order.
+        # NOT wait_until_finished: the prewarm join belongs to the WRITER
+        # thread — joining it here would stall the first save on the init.
+        self._join_writer()
         name = self._name(best)
         slot = self._next_slot[name]
         self._next_slot[name] = 1 - slot
         path = os.path.abspath(os.path.join(self.folder,
                                             f"{name}.slot{slot}"))
-        if os.path.exists(path):
-            shutil.rmtree(path, ignore_errors=True)
-        self._ckptr.save(path, payload, force=True)
-        self._ckptr.wait_until_finished()  # atomic commit done
-        with open(path + ".meta.json", "w") as f:
-            json.dump({"epoch": epoch, "config": config or {}}, f, default=str)
-        with open(self._pointer(name), "w") as f:
-            f.write(path)
+
+        def _write():
+            try:
+                self._join_prewarm()  # serialize with the init, off-main
+                if os.path.exists(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                self._ckptr.save(path, payload, force=True)
+                self._ckptr.wait_until_finished()  # atomic commit done
+                with open(path + ".meta.json", "w") as f:
+                    json.dump({"epoch": epoch, "config": config or {}}, f,
+                              default=str)
+                with open(self._pointer(name), "w") as f:
+                    f.write(path)
+            except BaseException as e:  # noqa: BLE001 - surfaced on next call
+                self._write_error = e
+
+        if self._async:
+            self._write_thread = threading.Thread(target=_write, daemon=True)
+            self._write_thread.start()
+        else:
+            _write()
+            if self._write_error is not None:
+                err, self._write_error = self._write_error, None
+                raise err
         return path
 
     def _resolve(self, best: bool, path: Optional[str]) -> str:
@@ -144,6 +200,7 @@ class CheckpointManager:
         Raises FileNotFoundError on a missing path, matching the reference's
         resume guard (main_shot_vae.py:213).
         """
+        self._join_writer()  # the pointer must reflect any in-flight write
         path = self._resolve(best, path)
         if not os.path.exists(path):
             raise FileNotFoundError(

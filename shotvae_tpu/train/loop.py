@@ -493,6 +493,7 @@ def run_shot_vae(cfg: ShotVaeConfig, *, m2: bool = False,
         writer.flush()
 
     writer.close()
+    ckpt.wait_until_finished()  # commit barrier: async writes land before return
     return {"best_valid_acc": best_valid_acc, "history": history,
             "state": state}
 
@@ -807,4 +808,5 @@ def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
     ckpt = CheckpointManager(cfg.base_path, dataset.upper(), cfg.train_time,
                              tag="One-Stage-VAE", prewarm=False)
     ckpt.save(state, epoch=total_epochs, config=cfg.asdict())
+    ckpt.wait_until_finished()  # commit barrier before returning
     return {"history": history, "state": state, "log_path": log_path}

@@ -343,6 +343,7 @@ class TestExportCheckpointScript:
                                   batch_stats=stats, tx=sgd_torch(0.1))
         cm = CheckpointManager(str(tmp_path), "Cifar10", 1)
         cm.save(state, epoch=3, config={"net_name": "wideresnet-10-1"})
+        cm.wait_until_finished()  # the export script reads the files directly
 
         import importlib.util
 

@@ -120,12 +120,47 @@ class TestCheckpoint:
                                   batch_stats={}, tx=sgd_torch(0.1))
         ckpt = CheckpointManager(str(tmp_path), "Cifar10", 3, prewarm=True)
         ckpt.save(state, epoch=1, config={})
-        assert ckpt._prewarm_thread is None  # joined before the real save
+        ckpt.wait_until_finished()
+        assert ckpt._prewarm_thread is None  # writer joined it before writing
+        assert ckpt._write_thread is None
         assert not os.path.exists(os.path.join(ckpt.folder, ".prewarm"))
         restored, epoch, _ = ckpt.restore(state)
         np.testing.assert_allclose(np.asarray(restored.params["w"]),
                                    np.arange(3.0))
         assert epoch == 1
+
+    def test_async_save_lands_after_wait(self, tmp_path):
+        """Async save (default) returns after the host snapshot; the
+        tensorstore write + meta + pointer land once wait_until_finished
+        (or the next save/restore) joins the writer. Sync mode
+        (async_save=False) must behave identically on-disk."""
+        from shotvae_tpu.io import CheckpointManager
+        from shotvae_tpu.train.state import TrainState, sgd_torch
+
+        state = TrainState.create(apply_fn=lambda: None,
+                                  params={"w": jnp.arange(5.0)},
+                                  batch_stats={}, tx=sgd_torch(0.1))
+        ckpt = CheckpointManager(str(tmp_path), "Cifar10", 7, prewarm=False)
+        p = ckpt.save(state, epoch=2, config={"x": 1})
+        ckpt.wait_until_finished()
+        assert os.path.isdir(p) and os.path.isfile(p + ".meta.json")
+        pointer = os.path.join(ckpt.folder, "checkpoint.current")
+        assert open(pointer).read().strip() == p
+        # second save alternates the slot and the restore joins the writer
+        # implicitly (no explicit wait)
+        state2 = state.replace(params={"w": jnp.arange(5.0) * 2})
+        p2 = ckpt.save(state2, epoch=3, config={})
+        assert p2 != p
+        restored, epoch, _ = ckpt.restore(state)
+        np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                                   np.arange(5.0) * 2)
+        assert epoch == 3
+
+        sync = CheckpointManager(str(tmp_path), "Cifar10", 8, prewarm=False,
+                                 async_save=False)
+        ps = sync.save(state, epoch=4, config={})
+        # no wait needed: everything landed before save returned
+        assert os.path.isdir(ps) and os.path.isfile(ps + ".meta.json")
 
     def test_missing_raises_filenotfound(self, tmp_path):
         from shotvae_tpu.io import CheckpointManager
