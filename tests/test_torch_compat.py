@@ -26,6 +26,15 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 def torch_modules():
     torch = pytest.importorskip("torch")
     sys.path.insert(0, os.path.join(REF, "shot_vae_model"))
+    # shot_vae_model and classifier_model BOTH define `wideresnet` (and the
+    # reference imports siblings by bare name): purge any variant another
+    # test file left in sys.modules (e.g. test_lockstep_long_horizon runs
+    # alphabetically earlier and imports the classifier one) so module
+    # identity is deterministic regardless of test order — the same
+    # discipline as test_train_lockstep._fresh_ref_import.
+    for m in ("wideresnet", "vae", "decoder", "preactresnet", "densenet",
+              "mlpvae"):
+        sys.modules.pop(m, None)
     import wideresnet as ref_wrn  # noqa: E402
 
     return torch, ref_wrn
