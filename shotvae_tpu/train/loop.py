@@ -799,7 +799,13 @@ def run_smooth_elbo(cfg: SmoothElboConfig, dataset: str = "mnist", *,
         log_fn(tmp)
         logf.write(tmp + "\n")
         history.append({"epoch": epoch, "test_acc": float(test_acc),
-                        "mean_loss": mean_loss})
+                        "mean_loss": mean_loss,
+                        # per-term epoch means (same accumulation as the log
+                        # lines above) so learning-quality artifacts can
+                        # separate recon from the capacity/class terms
+                        "train_terms": {k: v / max(nb, 1)
+                                        for k, v in sums.items()},
+                        "lr_scale": float(lr_scale)})
         if plateau is not None:
             lr_scale = plateau.step(mean_loss)
     logf.close()
