@@ -13,6 +13,7 @@ mean over batch* unless stated otherwise.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import nn as jnn
 
@@ -231,13 +232,40 @@ def capacity_loss(kl, step, cap_min, cap_max, num_iters, gamma, theoretical_max=
     return gamma * jnp.abs(cap - kl)
 
 
+@jax.custom_vjp
+def _bce_probs_elem(probs, targets):
+    log_p = jnp.maximum(jnp.log(probs), -100.0)
+    log_1mp = jnp.maximum(jnp.log1p(-probs), -100.0)
+    return -(targets * log_p + (1.0 - targets) * log_1mp)
+
+
+def _bce_probs_elem_fwd(probs, targets):
+    return _bce_probs_elem(probs, targets), (probs, targets)
+
+
+def _bce_probs_elem_bwd(res, g):
+    # torch binary_cross_entropy_backward: grad * (p - t) / max(p*(1-p), 1e-12)
+    # — finite (huge, not NaN) at p in {0, 1}. The naive VJP of the clamped
+    # forward is 0 * (1/0) = NaN there, which silently NaN'd the params the
+    # first time a softmax head saturated (confident q(y|x) underflows the
+    # non-max probs to exactly 0 in f32).
+    probs, targets = res
+    denom = jnp.maximum(probs * (1.0 - probs), 1e-12)
+    d_p = g * (probs - targets) / denom
+    d_t = g * (jnp.maximum(jnp.log1p(-probs), -100.0)
+               - jnp.maximum(jnp.log(probs), -100.0))
+    return d_p, d_t
+
+
+_bce_probs_elem.defvjp(_bce_probs_elem_fwd, _bce_probs_elem_bwd)
+
+
 def bce_probs_mean(probs, targets):
     """Mean-reduced BCE on probabilities (main_smooth_ELBO_svhn.py / mnist:288-290).
 
-    Matches ``F.binary_cross_entropy`` semantics, clamping log terms at -100
-    like torch does.
+    Matches ``F.binary_cross_entropy`` semantics in BOTH directions: the
+    forward clamps log terms at -100 like torch, and the backward uses
+    torch's ``(p - t) / max(p*(1-p), 1e-12)`` so saturated probabilities
+    (p == 0 or 1) produce torch's large-but-finite gradient instead of NaN.
     """
-    probs, targets = _f32(probs), _f32(targets)
-    log_p = jnp.maximum(jnp.log(probs), -100.0)
-    log_1mp = jnp.maximum(jnp.log1p(-probs), -100.0)
-    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1mp)
+    return jnp.mean(_bce_probs_elem(_f32(probs), _f32(targets)))

@@ -165,6 +165,26 @@ class TestSmoothElboTerms:
         want = F.binary_cross_entropy(torch.tensor(p), torch.tensor(t)).item()
         assert np.isclose(float(got), want, rtol=1e-4)
 
+    def test_bce_probs_grad_matches_torch_at_boundaries(self):
+        # regression for the round-5 smooth-ELBO SVHN NaN: once a softmax
+        # head saturates, non-max probs underflow to EXACTLY 0.0 in f32; the
+        # naive VJP of the clamped forward gives 0 * (1/0) = NaN there.
+        # torch's binary_cross_entropy_backward returns the finite
+        # (p - t) / max(p*(1-p), 1e-12) instead — pin both value and grad.
+        p = np.array([0.0, 1.0, 0.5, 1e-20, 0.25], dtype=np.float32)
+        t = np.array([1.0, 0.0, 1.0, 1.0, 0.0], dtype=np.float32)
+        import jax
+
+        got_loss, got_grad = jax.value_and_grad(
+            lambda q: losses.bce_probs_mean(q, jnp.array(t)))(jnp.array(p))
+        tp = torch.tensor(p, requires_grad=True)
+        want_loss = F.binary_cross_entropy(tp, torch.tensor(t))
+        want_loss.backward()
+        assert np.isclose(float(got_loss), want_loss.item(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_grad),
+                                   tp.grad.numpy(), rtol=1e-5)
+        assert np.isfinite(np.asarray(got_grad)).all()
+
 
 class TestMonitoring:
     def test_smoothed_onehot_sums_to_one(self):
